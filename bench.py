@@ -1,0 +1,58 @@
+"""Headline benchmark: MLUPS on 1024^2 D2Q9 MRT-LES single-cylinder flow.
+
+Run on the real TPU (no conftest CPU forcing here). Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "MLUPS", "vs_baseline": N}
+
+vs_baseline is measured MLUPS / 10,000 -- the BASELINE.json north-star target
+for one chip (the reference publishes no solver throughput of its own;
+SURVEY.md section 6).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _cylinder_mask, _demo_config
+    from lbm2d_tpu.core.solver import init_state, make_params, run_chunk
+
+    nx = ny = 1024
+    steps_per_chunk = 100
+    cfg = _demo_config(nx, ny, nu=0.01, warmup=2000)
+    p = make_params(cfg, _cylinder_mask(ny, nx))
+    state = init_state(ny, nx)
+
+    # warmup + compile
+    state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
+    jax.block_until_ready(state.f)
+
+    n_chunks = 10
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
+    jax.block_until_ready(state.f)
+    dt = time.perf_counter() - t0
+
+    total_steps = n_chunks * steps_per_chunk
+    mlups = nx * ny * total_steps / dt / 1e6
+    assert bool(np.isfinite(mon["max_v"])), "simulation diverged during bench"
+
+    print(
+        json.dumps(
+            {
+                "metric": "MLUPS/chip 1024^2 D2Q9 MRT-LES (cylinder, f32)",
+                "value": round(mlups, 1),
+                "unit": "MLUPS",
+                "vs_baseline": round(mlups / 10000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

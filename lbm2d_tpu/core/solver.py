@@ -1,0 +1,460 @@
+"""TPU-native D2Q9 MRT-LES lattice-Boltzmann solver core.
+
+A pure-functional re-design of the reference Taichi solver
+(/root/reference/src/lbm_mrt_les/core/LBM2D_MRT_LES.py). One lattice update is
+``step(state, params) -> state``; the host never touches device memory inside
+a chunk -- monitoring values (obstacle force, max velocity) are computed on
+device and returned as scalars from :func:`run_chunk`.
+
+Update order replicated from the reference (run_step, :552-573):
+  1. collide_and_stream on the interior ring-excluded region (:243-420)
+     (pull streaming -> M f -> macro -> m_eq -> LES tau_eff -> sponge ->
+     diagonal-S relaxation -> M^-1 m*),
+  2. macro update + f_new -> f_old copy on the interior (:422-436),
+  3. apply_bc (:438-550): left/right edges first, then top/bottom rows
+     (including corners), then obstacle cells get f <- f_eq(rho, u=0).
+
+State layout: channel-major ``[9, H, W]`` (y, x), f32. ``f_post`` mirrors the
+reference's ``f_new`` buffer: its 1-cell boundary ring is frozen at the
+initial equilibrium (the reference never writes it), and it is the field the
+moment export and momentum-exchange force read from.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .lattice import E, OPP, W, PI_REF, f_eq, m_eq, moments_from_f, f_from_moments
+from .sponge import sponge_damping_field
+
+# BC side indices as used by the reference apply_bc (:445-450).
+SIDE_LEFT, SIDE_TOP, SIDE_RIGHT, SIDE_BOTTOM = 0, 1, 2, 3
+
+# BC type codes (master_config.yaml:92): 0 = inlet (Zou-He pressure on the
+# left edge, velocity inlet elsewhere), 1 = Zou-He pressure outlet (right
+# edge only), 2 = free-slip.
+BC_INLET, BC_OUTLET, BC_FREE_SLIP = 0, 1, 2
+
+
+@struct.dataclass
+class CaseParams:
+    """Per-case parameters. Array leaves are batchable under vmap."""
+
+    mask: jnp.ndarray  # [H, W] f32, 1 = solid
+    damping: jnp.ndarray  # [H, W] f32 sponge tau addition
+    tau0: jnp.ndarray  # scalar f32, 3 nu + 0.5
+    cs_factor: jnp.ndarray  # scalar f32, 18 * Cs^2
+    s_ghost: jnp.ndarray  # scalar f32, ghost-moment relaxation rate
+    rho_in: jnp.ndarray  # scalar f32
+    rho_out: jnp.ndarray  # scalar f32
+    warmup_steps: jnp.ndarray  # scalar f32 (ramp denominator)
+    bc_value: jnp.ndarray  # [4, 2] f32 velocity-inlet values
+    # --- static (part of the jit cache key) ---
+    use_les: bool = struct.field(pytree_node=False, default=True)
+    bc_type: Tuple[int, int, int, int] = struct.field(
+        pytree_node=False, default=(BC_INLET, BC_FREE_SLIP, BC_OUTLET, BC_FREE_SLIP)
+    )
+
+    @property
+    def shape(self):
+        return self.mask.shape
+
+
+@struct.dataclass
+class LBMState:
+    f: jnp.ndarray  # [9, H, W] post-BC distributions (reference f_old)
+    f_post: jnp.ndarray  # [9, H, W] post-collision (reference f_new)
+    rho: jnp.ndarray  # [H, W]
+    u: jnp.ndarray  # [2, H, W] (ux, uy)
+    step: jnp.ndarray  # i32 scalar, equals reference frame_count
+
+
+def make_params(
+    config: dict,
+    mask: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+) -> CaseParams:
+    """Build CaseParams from a per-case config dict (reference YAML schema).
+
+    ``mask`` is [H, W] (y, x) with 1 = solid.
+    """
+    sim = config["simulation"]
+    ny, nx = int(sim["ny"]), int(sim["nx"])
+    zones = config["domain_zones"]
+    damping = sponge_damping_field(
+        nx,
+        ny,
+        zones["sponge_in"],
+        zones["sponge_out"],
+        zones["sponge_top"],
+        zones["sponge_bot"],
+        zones["sponge_strength"],
+        dtype=np.float64,
+    )
+    if mask is None:
+        mask = np.zeros((ny, nx), np.float32)
+    else:
+        mask = np.asarray(mask, np.float32)
+        if mask.shape != (ny, nx):
+            raise ValueError(f"mask shape {mask.shape} != (ny={ny}, nx={nx})")
+    bc = config["boundary_condition"]
+    c_smag = float(sim["smagorinsky_constant"])
+    return CaseParams(
+        mask=jnp.asarray(mask, dtype),
+        damping=jnp.asarray(damping, dtype),
+        tau0=jnp.asarray(3.0 * float(sim["nu"]) + 0.5, dtype),
+        cs_factor=jnp.asarray(18.0 * c_smag * c_smag, dtype),
+        s_ghost=jnp.asarray(float(sim["ghost_moments_s"]), dtype),
+        rho_in=jnp.asarray(float(sim["rho_in"]), dtype),
+        rho_out=jnp.asarray(float(sim["rho_out"]), dtype),
+        warmup_steps=jnp.asarray(float(sim["warmup_steps"]), dtype),
+        bc_value=jnp.asarray(np.asarray(bc["value"], np.float32), dtype),
+        use_les=c_smag > 0.001,
+        bc_type=tuple(int(t) for t in bc["type"]),
+    )
+
+
+def init_state(ny: int, nx: int, dtype=jnp.float32) -> LBMState:
+    """rho = 1, u = 0, f = f_post = equilibrium (LBM2D_MRT_LES.py:235-241)."""
+    rho = jnp.ones((ny, nx), dtype)
+    u = jnp.zeros((2, ny, nx), dtype)
+    f = f_eq(rho, u[0], u[1])
+    return LBMState(f=f, f_post=f, rho=rho, u=u, step=jnp.asarray(0, jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Collision + streaming (interior physics)
+# ---------------------------------------------------------------------------
+
+
+def pull_stream(f: jnp.ndarray) -> jnp.ndarray:
+    """Pull streaming via circular shifts: f_k(y, x) <- f_k(y - ey, x - ex).
+
+    Wrap-around values land only on the boundary ring, which the caller
+    discards (the reference collides the interior only, :245).
+    """
+    return jnp.stack(
+        [jnp.roll(f[k], (int(E[k, 1]), int(E[k, 0])), axis=(0, 1)) for k in range(9)]
+    )
+
+
+def pull_stream_halo(f_halo: jnp.ndarray) -> jnp.ndarray:
+    """Pull streaming from a halo-padded block [9, h+2, w+2] -> [9, h, w].
+
+    Pure slicing (no wrap-around): used by the sharded multi-chip step where
+    the halo ring was filled by neighbor exchange.
+    """
+    h = f_halo.shape[-2] - 2
+    w = f_halo.shape[-1] - 2
+    return jnp.stack(
+        [
+            f_halo[
+                k,
+                1 - int(E[k, 1]) : 1 - int(E[k, 1]) + h,
+                1 - int(E[k, 0]) : 1 - int(E[k, 0]) + w,
+            ]
+            for k in range(9)
+        ]
+    )
+
+
+def mrt_collide(fs: jnp.ndarray, p: CaseParams, damping: jnp.ndarray = None):
+    """MRT-LES collision of a post-streaming field fs [9, ...].
+
+    ``damping`` defaults to p.damping; the sharded path passes its local
+    slice. Returns (f_post, rho, ux, uy).
+    """
+    dtype = fs.dtype
+    m = moments_from_f(fs)
+
+    rho = m[0]
+    inv_rho = jnp.where(rho > 0, 1.0 / jnp.where(rho > 0, rho, 1.0), 0.0)
+    ux = m[3] * inv_rho
+    uy = m[5] * inv_rho
+
+    meq = m_eq(rho, ux, uy)
+
+    # Smagorinsky LES: tau_eff from the non-equilibrium stress norm
+    # sqrt(2 m7n^2 + 2 m8n^2) (LBM2D_MRT_LES.py:334-351).
+    tau0 = p.tau0.astype(dtype)
+    if p.use_les:
+        n7 = m[7] - meq[7]
+        n8 = m[8] - meq[8]
+        neq_norm = jnp.sqrt(2.0 * n7 * n7 + 2.0 * n8 * n8)
+        term = tau0 * tau0 + p.cs_factor.astype(dtype) * neq_norm * inv_rho
+        tau_eff = tau0 + 0.5 * (jnp.sqrt(term) - tau0)
+    else:
+        tau_eff = jnp.broadcast_to(tau0, rho.shape)
+
+    tau_eff = tau_eff + (p.damping if damping is None else damping)
+    s_eff = 1.0 / tau_eff
+
+    # Diagonal relaxation: conserved rows 0/3/5 untouched; ghost rows 1/2/4/6
+    # relax at s_ghost; stress rows 7/8 at the LES+sponge rate.
+    sg = p.s_ghost.astype(dtype)
+    d = m - meq
+    m_star = jnp.stack(
+        [
+            m[0],
+            m[1] - sg * d[1],
+            m[2] - sg * d[2],
+            m[3],
+            m[4] - sg * d[4],
+            m[5],
+            m[6] - sg * d[6],
+            m[7] - s_eff * d[7],
+            m[8] - s_eff * d[8],
+        ]
+    )
+    f_post = f_from_moments(m_star)
+    return f_post, rho, ux, uy
+
+
+def collide_stream_full(f: jnp.ndarray, p: CaseParams):
+    """Fused pull-stream + MRT-LES collision over the full grid (jnp path)."""
+    return mrt_collide(pull_stream(f), p)
+
+
+# ---------------------------------------------------------------------------
+# Boundary conditions (apply_bc, LBM2D_MRT_LES.py:438-550)
+# ---------------------------------------------------------------------------
+
+
+def _feq_cols(rho, ux, uy):
+    """f_eq for a 1-D strip of boundary cells -> [9, N]."""
+    return f_eq(rho, ux, uy)
+
+
+def _apply_left(f, rho, u, ramp, p: CaseParams):
+    """West edge x=0, rows y=1..ny-2, neighbor x=1."""
+    t = p.bc_type[SIDE_LEFT]
+    fn = f[:, 1:-1, 1]
+    rho_nb = rho[1:-1, 1]
+    uxn, uyn = u[0, 1:-1, 1], u[1, 1:-1, 1]
+    n = fn.shape[1]
+    dtype = f.dtype
+
+    if t == BC_INLET:
+        # Zou-He pressure inlet using the *neighbor's* post-stream f
+        # (LBM2D_MRT_LES.py:460-486), with warmup-ramped target density.
+        rho_c = 1.0 + (p.rho_in.astype(dtype) - 1.0) * ramp
+        rho_b = jnp.broadcast_to(rho_c, (n,))
+        ux = 1.0 - (fn[0] + fn[2] + fn[4] + 2.0 * (fn[3] + fn[6] + fn[7])) / rho_c
+        uy = jnp.zeros_like(ux)
+        fb = _feq_cols(rho_b, ux, uy)
+        f1 = fn[3] + (2.0 / 3.0) * rho_c * ux
+        f5 = fn[7] - 0.5 * (fn[2] - fn[4]) + (1.0 / 6.0) * rho_c * ux
+        f8 = fn[6] + 0.5 * (fn[2] - fn[4]) + (1.0 / 6.0) * rho_c * ux
+        fb = fb.at[1].set(f1).at[5].set(f5).at[8].set(f8)
+    elif t == BC_FREE_SLIP:
+        # Vertical wall: normal (x) velocity zeroed, tangential (y) kept.
+        ux = jnp.zeros((n,), dtype)
+        uy = uyn
+        rho_b = rho_nb
+        fb = _feq_cols(rho_b, ux, uy) - _feq_cols(rho_nb, uxn, uyn) + fn
+    else:
+        # Type 1 on the left edge is a no-op in the reference (:494 guard).
+        return f, rho, u
+
+    f = f.at[:, 1:-1, 0].set(fb)
+    rho = rho.at[1:-1, 0].set(rho_b)
+    u = u.at[0, 1:-1, 0].set(ux)
+    u = u.at[1, 1:-1, 0].set(uy)
+    return f, rho, u
+
+
+def _apply_right(f, rho, u, ramp, p: CaseParams):
+    """East edge x=nx-1, rows y=1..ny-2, neighbor x=nx-2."""
+    t = p.bc_type[SIDE_RIGHT]
+    fn = f[:, 1:-1, -2]
+    rho_nb = rho[1:-1, -2]
+    uxn, uyn = u[0, 1:-1, -2], u[1, 1:-1, -2]
+    n = fn.shape[1]
+    dtype = f.dtype
+
+    if t == BC_OUTLET:
+        # Zou-He pressure outlet with zero-gradient backflow guard
+        # (LBM2D_MRT_LES.py:494-527).
+        rho_o = p.rho_out.astype(dtype)
+        ux = -1.0 + (fn[0] + fn[2] + fn[4] + 2.0 * (fn[1] + fn[5] + fn[8])) / rho_o
+        backflow = ux < 0.0
+        rho_b = jnp.broadcast_to(rho_o, (n,))
+        # Normal branch: equilibrium at (rho_out, ux, 0) with Zou-He unknowns.
+        fz = _feq_cols(rho_b, ux, jnp.zeros_like(ux))
+        f3 = fn[1] - (2.0 / 3.0) * rho_o * ux
+        f6 = fn[8] - 0.5 * (fn[2] - fn[4]) - (1.0 / 6.0) * rho_o * ux
+        f7 = fn[5] + 0.5 * (fn[2] - fn[4]) - (1.0 / 6.0) * rho_o * ux
+        fz = fz.at[3].set(f3).at[6].set(f6).at[7].set(f7)
+        # Backflow branch: non-equilibrium extrapolation at neighbor velocity.
+        fbf = _feq_cols(rho_b, uxn, uyn) - _feq_cols(rho_nb, uxn, uyn) + fn
+        fb = jnp.where(backflow[None, :], fbf, fz)
+        ux_b = jnp.where(backflow, uxn, ux)
+        uy_b = jnp.where(backflow, uyn, jnp.zeros_like(uyn))
+    elif t == BC_INLET:
+        # Non-west inlet: prescribed-velocity NEBB (LBM2D_MRT_LES.py:487-492).
+        v = p.bc_value[SIDE_RIGHT].astype(dtype) * ramp
+        ux_b = jnp.broadcast_to(v[0], (n,))
+        uy_b = jnp.broadcast_to(v[1], (n,))
+        rho_b = rho_nb
+        fb = _feq_cols(rho_b, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
+    elif t == BC_FREE_SLIP:
+        ux_b = jnp.zeros((n,), dtype)
+        uy_b = uyn
+        rho_b = rho_nb
+        fb = _feq_cols(rho_b, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
+    else:
+        return f, rho, u
+
+    f = f.at[:, 1:-1, -1].set(fb)
+    rho = rho.at[1:-1, -1].set(rho_b)
+    u = u.at[0, 1:-1, -1].set(ux_b)
+    u = u.at[1, 1:-1, -1].set(uy_b)
+    return f, rho, u
+
+
+def _apply_horizontal(f, rho, u, ramp, p: CaseParams, side: int):
+    """Top (y=ny-1) / bottom (y=0) rows over ALL x, neighbor one row in.
+
+    Only free-slip (type 2) and velocity-inlet (type 0) are meaningful here,
+    matching the reference's usable configs; type 1 is a no-op away from
+    x = nx-1 and is treated as a full no-op.
+    """
+    t = p.bc_type[side]
+    row, nbr = (-1, -2) if side == SIDE_TOP else (0, 1)
+    fn = f[:, nbr, :]
+    rho_nb = rho[nbr, :]
+    uxn, uyn = u[0, nbr, :], u[1, nbr, :]
+    n = fn.shape[1]
+    dtype = f.dtype
+
+    if t == BC_FREE_SLIP:
+        # Horizontal wall: tangential (x) kept, normal (y) zeroed.
+        ux_b = uxn
+        uy_b = jnp.zeros((n,), dtype)
+        rho_b = rho_nb
+        fb = _feq_cols(rho_b, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
+    elif t == BC_INLET:
+        v = p.bc_value[side].astype(dtype) * ramp
+        ux_b = jnp.broadcast_to(v[0], (n,))
+        uy_b = jnp.broadcast_to(v[1], (n,))
+        rho_b = rho_nb
+        fb = _feq_cols(rho_b, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
+    else:
+        return f, rho, u
+
+    f = f.at[:, row, :].set(fb)
+    rho = rho.at[row, :].set(rho_b)
+    u = u.at[0, row, :].set(ux_b)
+    u = u.at[1, row, :].set(uy_b)
+    return f, rho, u
+
+
+def _apply_obstacle(f, rho, u, p: CaseParams):
+    """mask==1 cells: u <- 0, f <- f_eq(rho, 0) = w_k rho (:452-455)."""
+    solid = p.mask > 0.5
+    w9 = jnp.asarray(W, f.dtype).reshape(9, 1, 1)
+    f = jnp.where(solid[None], w9 * rho[None], f)
+    u = jnp.where(solid[None], jnp.zeros_like(u), u)
+    return f, rho, u
+
+
+def apply_bc(f, rho, u, step, p: CaseParams):
+    """Full BC pass in the reference's sequential order."""
+    dtype = f.dtype
+    progress = jnp.minimum(1.0, step.astype(dtype) / p.warmup_steps.astype(dtype))
+    ramp = 1.0 - jnp.cos(jnp.asarray(0.5 * PI_REF, dtype) * progress)
+    f, rho, u = _apply_left(f, rho, u, ramp, p)
+    f, rho, u = _apply_right(f, rho, u, ramp, p)
+    f, rho, u = _apply_horizontal(f, rho, u, ramp, p, SIDE_TOP)
+    f, rho, u = _apply_horizontal(f, rho, u, ramp, p, SIDE_BOTTOM)
+    f, rho, u = _apply_obstacle(f, rho, u, p)
+    return f, rho, u
+
+
+# ---------------------------------------------------------------------------
+# Full step + chunked advance
+# ---------------------------------------------------------------------------
+
+CollideFn = Callable[[jnp.ndarray, CaseParams], Tuple[jnp.ndarray, Any, Any, Any]]
+
+
+def step(state: LBMState, p: CaseParams, collide_fn: CollideFn = None) -> LBMState:
+    """One lattice update (collide+stream, macro, BC)."""
+    collide = collide_fn or collide_stream_full
+    f_c, rho_c, ux_c, uy_c = collide(state.f, p)
+
+    # Interior-only writes; the boundary ring keeps previous values.
+    f_post = state.f_post.at[:, 1:-1, 1:-1].set(f_c[:, 1:-1, 1:-1])
+    f = state.f.at[:, 1:-1, 1:-1].set(f_c[:, 1:-1, 1:-1])
+    rho = state.rho.at[1:-1, 1:-1].set(rho_c[1:-1, 1:-1])
+    u = state.u.at[0, 1:-1, 1:-1].set(ux_c[1:-1, 1:-1])
+    u = u.at[1, 1:-1, 1:-1].set(uy_c[1:-1, 1:-1])
+
+    new_step = state.step + 1
+    f, rho, u = apply_bc(f, rho, u, new_step, p)
+    return LBMState(f=f, f_post=f_post, rho=rho, u=u, step=new_step)
+
+
+def shift2d(a: jnp.ndarray, dy: int, dx: int, fill=0.0) -> jnp.ndarray:
+    """result[y, x] = a[y+dy, x+dx], out-of-bounds -> fill. dy,dx in {-1,0,1}."""
+    h, w = a.shape[-2], a.shape[-1]
+    pad = [(0, 0)] * (a.ndim - 2) + [(1, 1), (1, 1)]
+    a2 = jnp.pad(a, pad, constant_values=fill)
+    return a2[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+
+def force_on_obstacle(f_post: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Momentum-exchange force on all solid cells -> [2] (fx, fy).
+
+    For each solid cell and direction k with an in-bounds fluid neighbor at
+    +e_k: force += 2 * f_post[OPP[k]](neighbor) * (-e_k)
+    (compute_force_on_obstacle, LBM2D_MRT_LES.py:588-641).
+    """
+    solid = mask > 0.5
+    fluid = jnp.where(solid, 0.0, 1.0).astype(f_post.dtype)
+    fx = jnp.zeros((), f_post.dtype)
+    fy = jnp.zeros((), f_post.dtype)
+    for k in range(1, 9):
+        ex, ey = int(E[k, 0]), int(E[k, 1])
+        nb_fluid = shift2d(fluid, ey, ex, 0.0)
+        nb_f = shift2d(f_post[int(OPP[k])], ey, ex, 0.0)
+        contrib = jnp.where(solid, 2.0 * nb_f * nb_fluid, 0.0)
+        s = jnp.sum(contrib)
+        fx = fx + s * (-ex)
+        fy = fy + s * (-ey)
+    return jnp.stack([fx, fy])
+
+
+def max_velocity(u: jnp.ndarray) -> jnp.ndarray:
+    return jnp.max(jnp.sqrt(u[0] * u[0] + u[1] * u[1]))
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "collide_fn"))
+def run_chunk(state: LBMState, p: CaseParams, n_steps: int, collide_fn=None):
+    """Advance n_steps on device; return (state, monitors).
+
+    monitors = {"force": [2], "max_v": scalar} computed from the final step's
+    f_post / u, matching the reference loop's per-chunk host reads
+    (simulation_ops.py:101-103).
+    """
+
+    def body(s, _):
+        return step(s, p, collide_fn), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    monitors = {
+        "force": force_on_obstacle(state.f_post, p.mask),
+        "max_v": max_velocity(state.u),
+    }
+    return state, monitors
+
+
+def moments_output(state: LBMState) -> jnp.ndarray:
+    """[9, H, W] MRT moments of f_post, for dataset export."""
+    return moments_from_f(state.f_post)

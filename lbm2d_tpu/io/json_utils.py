@@ -1,0 +1,49 @@
+"""JSON encoder tolerant of numpy scalars/arrays (reference
+io/NumpySafeJSONEncoder.py:4-30 equivalent) plus atomic-write helpers."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+
+class NumpySafeJSONEncoder(json.JSONEncoder):
+    def default(self, obj: Any):
+        if isinstance(obj, np.integer):
+            return int(obj)
+        if isinstance(obj, np.floating):
+            return float(obj)
+        if isinstance(obj, np.bool_):
+            return bool(obj)
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        return super().default(obj)
+
+
+def read_json(path: str, default=None):
+    """Read JSON; return ``default`` on missing/corrupt file."""
+    if not os.path.exists(path):
+        return default
+    try:
+        with open(path, "r", encoding="utf-8") as fh:
+            return json.load(fh)
+    except Exception:
+        return default
+
+
+def write_json_atomic(data, path: str, indent: int = 2) -> None:
+    """Write via .tmp + os.replace so a crash never corrupts the store
+    (reference io/sim_results_io.py:55-64 semantics)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(data, fh, indent=indent, ensure_ascii=False, cls=NumpySafeJSONEncoder)
+        os.replace(tmp, path)
+    except Exception:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise

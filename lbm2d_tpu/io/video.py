@@ -1,0 +1,73 @@
+"""MP4 video recorder.
+
+Functional parity with the reference recorder (io/video_recorder.py: even-dim
+clamp, vertical flip, float->uint8) but backed by cv2.VideoWriter instead of
+an ffmpeg subprocess pipe -- no ffmpeg binary is assumed in this environment.
+Falls back to saving PNG frames when no video backend is available.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+class VideoRecorder:
+    def __init__(self, filename: str, width: int, height: int, fps: int = 30):
+        self.filename = filename
+        self.rec_width = width - 1 if width % 2 else width
+        self.rec_height = height - 1 if height % 2 else height
+        self.fps = fps
+        self.is_recording = False
+        self._writer = None
+        self._frame_dir: Optional[str] = None
+        self._frame_idx = 0
+
+    def start(self) -> None:
+        os.makedirs(os.path.dirname(self.filename) or ".", exist_ok=True)
+        if _HAS_CV2:
+            self._writer = cv2.VideoWriter(
+                self.filename,
+                cv2.VideoWriter_fourcc(*"mp4v"),
+                self.fps,
+                (self.rec_width, self.rec_height),
+            )
+            if not self._writer.isOpened():
+                self._writer = None
+        if self._writer is None:
+            # PNG-frame fallback directory next to the target file
+            self._frame_dir = self.filename + ".frames"
+            os.makedirs(self._frame_dir, exist_ok=True)
+        self.is_recording = True
+
+    def write_frame(self, img: np.ndarray) -> None:
+        """img: [H, W, 3] float RGB in [0, 1]."""
+        if not self.is_recording:
+            return
+        frame = img[: self.rec_height, : self.rec_width, :]
+        frame = frame[::-1]  # vertical flip, same orientation as reference
+        frame8 = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
+        if self._writer is not None:
+            self._writer.write(frame8[:, :, ::-1])  # RGB -> BGR
+        elif self._frame_dir is not None:
+            from PIL import Image
+
+            Image.fromarray(frame8).save(
+                os.path.join(self._frame_dir, f"frame_{self._frame_idx:06d}.png")
+            )
+            self._frame_idx += 1
+
+    def stop(self) -> None:
+        if self.is_recording and self._writer is not None:
+            self._writer.release()
+        self._writer = None
+        self.is_recording = False

@@ -1,0 +1,134 @@
+"""Case-batch data parallelism: vmap many masks through one compiled step.
+
+Replaces the reference's serial batch loop (pipeline/batch_run.py:219-351)
+as the throughput path: one chip advances B cases per step. Per-case scalars
+(nu/tau, rho_in, warmup...) are batched leaves of CaseParams; divergence is
+handled functionally with a per-case ``alive`` flag -- a diverged case
+freezes in place instead of killing the batch (the circuit breaker of
+core/simulation_ops.py:9-57, made jit-safe).
+
+All cases in a batch must share (ny, nx), bc_type, and the LES on/off flag.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.solver import (
+    CaseParams,
+    LBMState,
+    force_on_obstacle,
+    init_state,
+    make_params,
+    max_velocity,
+    moments_output,
+    step,
+)
+from ..core.stability import is_stable_device
+
+
+def stack_params(params: Sequence[CaseParams]) -> CaseParams:
+    """Stack per-case CaseParams into one batched pytree (leading axis B)."""
+    first = params[0]
+    for p in params[1:]:
+        if p.bc_type != first.bc_type or p.use_les != first.use_les:
+            raise ValueError("batched cases must share bc_type and use_les")
+        if p.mask.shape != first.mask.shape:
+            raise ValueError("batched cases must share the grid shape")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+
+
+def init_batch_state(batch: int, ny: int, nx: int, dtype=jnp.float32) -> LBMState:
+    one = init_state(ny, nx, dtype)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
+
+
+_STATE_AXES = LBMState(f=0, f_post=0, rho=0, u=0, step=0)
+_PARAM_AXES = CaseParams(
+    mask=0, damping=0, tau0=0, cs_factor=0, s_ghost=0,
+    rho_in=0, rho_out=0, warmup_steps=0, bc_value=0,
+)
+
+_vstep = jax.vmap(step, in_axes=(_STATE_AXES, _PARAM_AXES))
+_vforce = jax.vmap(force_on_obstacle, in_axes=(0, 0))
+_vmax = jax.vmap(max_velocity, in_axes=0)
+_vstable = jax.vmap(is_stable_device, in_axes=(0, 0, 0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def run_chunk_batched(
+    state: LBMState, p: CaseParams, alive: jnp.ndarray, n_steps: int
+):
+    """Advance all alive cases n_steps; freeze cases that go unstable.
+
+    Returns (state, alive, monitors) with per-case monitors
+    {"force": [B,2], "max_v": [B]}.
+    """
+
+    def body(s, _):
+        s_new = _vstep(s, p)
+        s_frozen = jax.tree.map(
+            lambda new, old: jnp.where(
+                alive.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            s_new,
+            s,
+        )
+        return s_frozen, None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    force = _vforce(state.f_post, p.mask)
+    max_v = _vmax(state.u)
+    stable = _vstable(force, max_v, state.step, p.warmup_steps)
+    alive = alive & stable
+    return state, alive, {"force": force, "max_v": max_v, "stable": stable}
+
+
+_vmoments = jax.vmap(moments_output, in_axes=0)
+
+
+def moments_batched(state: LBMState) -> jnp.ndarray:
+    """[B, 9, H, W] moment export for the whole batch."""
+    return _vmoments(state)
+
+
+class BatchEngine:
+    """Run B same-shape cases in lockstep on one device."""
+
+    def __init__(
+        self,
+        configs: Sequence[Dict[str, Any]],
+        masks_yx: Sequence[np.ndarray],
+        dtype=jnp.float32,
+    ):
+        if len(configs) != len(masks_yx):
+            raise ValueError("configs and masks must align")
+        self.configs = list(configs)
+        sim0 = configs[0]["simulation"]
+        self.ny, self.nx = int(sim0["ny"]), int(sim0["nx"])
+        self.batch = len(configs)
+        self.params = stack_params(
+            [make_params(c, m, dtype) for c, m in zip(configs, masks_yx)]
+        )
+        self.state = init_batch_state(self.batch, self.ny, self.nx, dtype)
+        self.alive = jnp.ones((self.batch,), bool)
+        self.last_monitors: Optional[Dict[str, jnp.ndarray]] = None
+
+    def run_step(self, n: int = 1) -> Dict[str, np.ndarray]:
+        self.state, self.alive, mon = run_chunk_batched(
+            self.state, self.params, self.alive, n_steps=n
+        )
+        self.last_monitors = mon
+        return {k: np.asarray(v) for k, v in mon.items()}
+
+    def get_moments(self) -> np.ndarray:
+        return np.asarray(moments_batched(self.state))
+
+    @property
+    def alive_mask(self) -> np.ndarray:
+        return np.asarray(self.alive)

@@ -1,0 +1,98 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded step ==
+unsharded step, and vmap batch == per-case runs with divergence freezing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lbm2d_tpu.core.solver import init_state, make_params, run_chunk
+from lbm2d_tpu.parallel.topology import make_mesh, shard_state
+from lbm2d_tpu.parallel.sharded import run_chunk_sharded
+from lbm2d_tpu.parallel.batch import BatchEngine, init_batch_state, run_chunk_batched, stack_params
+from tests.test_core_vs_oracle import tiny_config
+
+
+def grid_config(nx, ny, rho_in=1.02):
+    cfg = tiny_config(nx=nx, ny=ny)
+    cfg["simulation"]["rho_in"] = rho_in
+    return cfg
+
+
+def block_mask(ny, nx):
+    m = np.zeros((ny, nx), np.float32)
+    m[ny // 2 - 3 : ny // 2 + 3, nx // 3 : nx // 3 + 6] = 1.0
+    return m
+
+
+def test_sharded_equals_unsharded():
+    assert len(jax.devices()) >= 8, "needs the 8-device virtual CPU mesh"
+    nx, ny = 64, 32
+    cfg = grid_config(nx, ny)
+    mask = block_mask(ny, nx)
+    p = make_params(cfg, mask)
+    st0 = init_state(ny, nx)
+
+    ref_state, ref_mon = run_chunk(st0, p, 20)
+
+    mesh = make_mesh(shape=(2, 4))
+    st_sh, p_sh = shard_state(init_state(ny, nx), make_params(cfg, mask), mesh)
+    sh_state, sh_mon = run_chunk_sharded(st_sh, p_sh, n_steps=20, mesh=mesh, ny=ny, nx=nx)
+
+    np.testing.assert_allclose(
+        np.asarray(sh_state.f), np.asarray(ref_state.f), atol=2e-6,
+        err_msg="sharded f diverged from single-device f",
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u), np.asarray(ref_state.u), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(sh_mon["max_v"]), float(ref_mon["max_v"]), atol=2e-6
+    )
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(shape=(4, 2))
+    assert mesh.shape == {"dy": 4, "dx": 2}
+    mesh2 = make_mesh(shape=(1, 8))
+    assert mesh2.shape == {"dy": 1, "dx": 8}
+
+
+def test_batch_matches_percase():
+    nx, ny = 48, 24
+    cfgs = [grid_config(nx, ny, rho_in=1.01), grid_config(nx, ny, rho_in=1.03)]
+    masks = [block_mask(ny, nx), np.zeros((ny, nx), np.float32)]
+
+    be = BatchEngine(cfgs, masks)
+    be.run_step(15)
+    batched_f = np.asarray(be.state.f)
+
+    for i, (cfg, mask) in enumerate(zip(cfgs, masks)):
+        p = make_params(cfg, mask)
+        st, _ = run_chunk(init_state(ny, nx), p, 15)
+        np.testing.assert_allclose(
+            batched_f[i], np.asarray(st.f), atol=1e-6,
+            err_msg=f"case {i} batched != solo",
+        )
+    assert be.alive_mask.all()
+
+
+def test_batch_divergence_freezes_only_bad_case():
+    nx, ny = 48, 24
+    good = grid_config(nx, ny, rho_in=1.02)
+    bad = grid_config(nx, ny, rho_in=1.02)
+    # absurd viscosity -> tau < 0.5 -> unconditionally unstable
+    bad["simulation"]["nu"] = -0.16
+    bad["simulation"]["warmup_steps"] = 1
+    masks = [block_mask(ny, nx)] * 2
+
+    be = BatchEngine([good, bad], masks)
+    for _ in range(6):
+        be.run_step(10)
+    alive = be.alive_mask
+    assert alive[0], "healthy case must stay alive"
+    assert not alive[1], "unstable case must trip the breaker"
+    # the healthy case's fields stay finite even though its neighbor blew up
+    assert np.isfinite(np.asarray(be.state.f[0])).all()
