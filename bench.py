@@ -19,7 +19,8 @@ def main() -> None:
     import jax
 
     from __graft_entry__ import _cylinder_mask, _demo_config
-    from lbm2d_tpu.core.solver import init_state, make_params, run_chunk
+    from lbm2d_tpu.core.solver import init_state, make_params
+    from lbm2d_tpu.ops.pallas_step import run_chunk_pallas as run_chunk
 
     nx = ny = 1024
     steps_per_chunk = 100
@@ -27,15 +28,20 @@ def main() -> None:
     p = make_params(cfg, _cylinder_mask(ny, nx))
     state = init_state(ny, nx)
 
+    def sync(x):
+        # On the tunneled axon platform block_until_ready does not reliably
+        # wait for execution; a scalar device-to-host read does.
+        return float(np.asarray(x["max_v"]))
+
     # warmup + compile
     state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
-    jax.block_until_ready(state.f)
+    sync(mon)
 
     n_chunks = 10
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
-    jax.block_until_ready(state.f)
+    sync(mon)
     dt = time.perf_counter() - t0
 
     total_steps = n_chunks * steps_per_chunk

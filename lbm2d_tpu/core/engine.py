@@ -65,22 +65,36 @@ class LBMEngine:
 
         self.params: CaseParams = make_params(config, mask_yx, dtype=dtype)
         self.dtype = dtype
-        self._collide_fn = self._resolve_collide(collide_impl)
+        self._runner = self._resolve_runner(collide_impl)
         self.state: LBMState = init_state(self.ny, self.nx, dtype)
         self._last_monitors = None
 
-    @staticmethod
-    def _resolve_collide(impl: str):
-        if impl in ("auto", "pallas"):
-            try:
-                from ..ops.pallas_step import collide_stream_pallas
+    def _resolve_runner(self, impl: str):
+        """Pick the chunk runner: fused Pallas kernel on TPU, jnp elsewhere.
 
-                if impl == "pallas" or jax.default_backend() == "tpu":
-                    return collide_stream_pallas
-            except Exception:
-                if impl == "pallas":
-                    raise
-        return None  # jnp baseline
+        The fused kernel requires all four BC sides active (ops/pallas_step
+        supports()); exotic layouts fall back to the jnp path.
+        """
+        if impl in ("auto", "pallas"):
+            backend = jax.default_backend()
+            on_tpu = backend in ("tpu", "axon")
+            if impl == "pallas" or on_tpu:
+                try:
+                    from ..ops.pallas_step import run_chunk_pallas, supports
+
+                    if supports(self.params):
+                        return lambda state, p, n: run_chunk_pallas(
+                            state, p, n_steps=n
+                        )
+                    if impl == "pallas":
+                        raise ValueError(
+                            f"bc_type {self.params.bc_type} unsupported by the "
+                            "fused kernel"
+                        )
+                except ImportError:
+                    if impl == "pallas":
+                        raise
+        return lambda state, p, n: run_chunk(state, p, n_steps=n)
 
     # -- reference-compatible API --------------------------------------------
 
@@ -89,9 +103,7 @@ class LBMEngine:
         self._last_monitors = None
 
     def run_step(self, steps: int = 1) -> None:
-        self.state, self._last_monitors = run_chunk(
-            self.state, self.params, n_steps=steps, collide_fn=self._collide_fn
-        )
+        self.state, self._last_monitors = self._runner(self.state, self.params, steps)
 
     def get_force(self) -> np.ndarray:
         if self._last_monitors is None:

@@ -76,17 +76,32 @@ PI_REF = 3.14159265
 
 
 def f_eq(rho, ux, uy):
-    """Velocity-space equilibrium, broadcasting over any grid shape.
+    """Velocity-space equilibrium over any grid shape.
 
     rho, ux, uy: arrays of identical shape S. Returns [9, *S].
     f_eq_k = w_k * rho * (1 + 3 e.u + 4.5 (e.u)^2 - 1.5 u.u)
+
+    Built per-channel from Python-float coefficients (no captured [9]
+    constant arrays) so it is directly usable inside Pallas kernel bodies;
+    bitwise-identical to the broadcast formulation.
     """
-    ex = jnp.asarray(E[:, 0], rho.dtype).reshape((9,) + (1,) * rho.ndim)
-    ey = jnp.asarray(E[:, 1], rho.dtype).reshape((9,) + (1,) * rho.ndim)
-    w = jnp.asarray(W, rho.dtype).reshape((9,) + (1,) * rho.ndim)
-    eu = ex * ux + ey * uy
     usq = ux * ux + uy * uy
-    return w * rho * (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * usq)
+    comps = []
+    for k in range(9):
+        ex, ey, w = float(E[k, 0]), float(E[k, 1]), float(W[k])
+        # keep the reference's evaluation order ((1 + 3eu) + 4.5eu^2) - 1.5u^2
+        if ex == 0 and ey == 0:
+            inner = 1.0 - 1.5 * usq
+        else:
+            if ey == 0:
+                eu = ex * ux
+            elif ex == 0:
+                eu = ey * uy
+            else:
+                eu = ex * ux + ey * uy
+            inner = 1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * usq
+        comps.append(w * rho * inner)
+    return jnp.stack(comps)
 
 
 def m_eq(rho, ux, uy):

@@ -164,11 +164,11 @@ def pull_stream_halo(f_halo: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def mrt_collide(fs: jnp.ndarray, p: CaseParams, damping: jnp.ndarray = None):
-    """MRT-LES collision of a post-streaming field fs [9, ...].
+def mrt_collide_arrays(fs, damping, tau0, cs_factor, s_ghost, use_les: bool):
+    """MRT-LES collision of a post-streaming field fs [9, ...], plain arrays.
 
-    ``damping`` defaults to p.damping; the sharded path passes its local
-    slice. Returns (f_post, rho, ux, uy).
+    Shared by the jnp path, the shard_map path, and the Pallas kernel body.
+    Returns (f_post, rho, ux, uy).
     """
     dtype = fs.dtype
     m = moments_from_f(fs)
@@ -182,22 +182,22 @@ def mrt_collide(fs: jnp.ndarray, p: CaseParams, damping: jnp.ndarray = None):
 
     # Smagorinsky LES: tau_eff from the non-equilibrium stress norm
     # sqrt(2 m7n^2 + 2 m8n^2) (LBM2D_MRT_LES.py:334-351).
-    tau0 = p.tau0.astype(dtype)
-    if p.use_les:
+    tau0 = tau0.astype(dtype)
+    if use_les:
         n7 = m[7] - meq[7]
         n8 = m[8] - meq[8]
         neq_norm = jnp.sqrt(2.0 * n7 * n7 + 2.0 * n8 * n8)
-        term = tau0 * tau0 + p.cs_factor.astype(dtype) * neq_norm * inv_rho
+        term = tau0 * tau0 + cs_factor.astype(dtype) * neq_norm * inv_rho
         tau_eff = tau0 + 0.5 * (jnp.sqrt(term) - tau0)
     else:
         tau_eff = jnp.broadcast_to(tau0, rho.shape)
 
-    tau_eff = tau_eff + (p.damping if damping is None else damping)
+    tau_eff = tau_eff + damping
     s_eff = 1.0 / tau_eff
 
     # Diagonal relaxation: conserved rows 0/3/5 untouched; ghost rows 1/2/4/6
     # relax at s_ghost; stress rows 7/8 at the LES+sponge rate.
-    sg = p.s_ghost.astype(dtype)
+    sg = s_ghost.astype(dtype)
     d = m - meq
     m_star = jnp.stack(
         [
@@ -216,6 +216,18 @@ def mrt_collide(fs: jnp.ndarray, p: CaseParams, damping: jnp.ndarray = None):
     return f_post, rho, ux, uy
 
 
+def mrt_collide(fs: jnp.ndarray, p: CaseParams, damping: jnp.ndarray = None):
+    """MRT-LES collision with params taken from a CaseParams pytree."""
+    return mrt_collide_arrays(
+        fs,
+        p.damping if damping is None else damping,
+        p.tau0,
+        p.cs_factor,
+        p.s_ghost,
+        p.use_les,
+    )
+
+
 def collide_stream_full(f: jnp.ndarray, p: CaseParams):
     """Fused pull-stream + MRT-LES collision over the full grid (jnp path)."""
     return mrt_collide(pull_stream(f), p)
@@ -231,86 +243,125 @@ def _feq_cols(rho, ux, uy):
     return f_eq(rho, ux, uy)
 
 
-def _apply_left(f, rho, u, ramp, p: CaseParams):
-    """West edge x=0, rows y=1..ny-2, neighbor x=1."""
-    t = p.bc_type[SIDE_LEFT]
-    fn = f[:, 1:-1, 1]
-    rho_nb = rho[1:-1, 1]
-    uxn, uyn = u[0, 1:-1, 1], u[1, 1:-1, 1]
-    n = fn.shape[1]
-    dtype = f.dtype
+def bc_left_values(fn, rho_nb, uxn, uyn, ramp, t, rho_in):
+    """West-edge BC values from the neighbor strip; None if no-op.
 
+    ``t`` is the static bc type, ``rho_in`` the (traced) target density.
+    Returns (fb, rho_b, ux_b, uy_b), each [9, N] / [N].
+    """
+    dtype = fn.dtype
     if t == BC_INLET:
         # Zou-He pressure inlet using the *neighbor's* post-stream f
         # (LBM2D_MRT_LES.py:460-486), with warmup-ramped target density.
-        rho_c = 1.0 + (p.rho_in.astype(dtype) - 1.0) * ramp
-        rho_b = jnp.broadcast_to(rho_c, (n,))
+        rho_c = 1.0 + (rho_in.astype(dtype) - 1.0) * ramp
+        rho_b = rho_c * jnp.ones_like(rho_nb)
         ux = 1.0 - (fn[0] + fn[2] + fn[4] + 2.0 * (fn[3] + fn[6] + fn[7])) / rho_c
         uy = jnp.zeros_like(ux)
-        fb = _feq_cols(rho_b, ux, uy)
+        feq = _feq_cols(rho_b, ux, uy)
         f1 = fn[3] + (2.0 / 3.0) * rho_c * ux
         f5 = fn[7] - 0.5 * (fn[2] - fn[4]) + (1.0 / 6.0) * rho_c * ux
         f8 = fn[6] + 0.5 * (fn[2] - fn[4]) + (1.0 / 6.0) * rho_c * ux
-        fb = fb.at[1].set(f1).at[5].set(f5).at[8].set(f8)
-    elif t == BC_FREE_SLIP:
+        # stacked (not .at[].set) so the same code lowers inside Pallas
+        fb = jnp.stack(
+            [feq[0], f1, feq[2], feq[3], feq[4], f5, feq[6], feq[7], f8]
+        )
+        return fb, rho_b, ux, uy
+    if t == BC_FREE_SLIP:
         # Vertical wall: normal (x) velocity zeroed, tangential (y) kept.
-        ux = jnp.zeros((n,), dtype)
+        ux = jnp.zeros_like(uxn)
         uy = uyn
-        rho_b = rho_nb
-        fb = _feq_cols(rho_b, ux, uy) - _feq_cols(rho_nb, uxn, uyn) + fn
-    else:
-        # Type 1 on the left edge is a no-op in the reference (:494 guard).
-        return f, rho, u
+        fb = _feq_cols(rho_nb, ux, uy) - _feq_cols(rho_nb, uxn, uyn) + fn
+        return fb, rho_nb, ux, uy
+    # Type 1 on the left edge is a no-op in the reference (:494 guard).
+    return None
 
+
+def bc_right_values(fn, rho_nb, uxn, uyn, ramp, t, rho_out, bc_val):
+    """East-edge BC values from the neighbor strip; None if no-op.
+
+    ``bc_val`` is the side's [2] velocity value (used by the type-0 branch).
+    """
+    dtype = fn.dtype
+    if t == BC_OUTLET:
+        # Zou-He pressure outlet with zero-gradient backflow guard
+        # (LBM2D_MRT_LES.py:494-527).
+        rho_o = rho_out.astype(dtype)
+        ux = -1.0 + (fn[0] + fn[2] + fn[4] + 2.0 * (fn[1] + fn[5] + fn[8])) / rho_o
+        backflow = ux < 0.0
+        rho_b = rho_o * jnp.ones_like(rho_nb)
+        feq = _feq_cols(rho_b, ux, jnp.zeros_like(ux))
+        f3 = fn[1] - (2.0 / 3.0) * rho_o * ux
+        f6 = fn[8] - 0.5 * (fn[2] - fn[4]) - (1.0 / 6.0) * rho_o * ux
+        f7 = fn[5] + 0.5 * (fn[2] - fn[4]) - (1.0 / 6.0) * rho_o * ux
+        fz = jnp.stack(
+            [feq[0], feq[1], feq[2], f3, feq[4], feq[5], f6, f7, feq[8]]
+        )
+        fbf = _feq_cols(rho_b, uxn, uyn) - _feq_cols(rho_nb, uxn, uyn) + fn
+        fb = jnp.where(backflow[None], fbf, fz)
+        ux_b = jnp.where(backflow, uxn, ux)
+        uy_b = jnp.where(backflow, uyn, jnp.zeros_like(uyn))
+        return fb, rho_b, ux_b, uy_b
+    if t == BC_INLET:
+        # Non-west inlet: prescribed-velocity NEBB (LBM2D_MRT_LES.py:487-492).
+        v = bc_val.astype(dtype) * ramp
+        ux_b = v[0] * jnp.ones_like(uxn)
+        uy_b = v[1] * jnp.ones_like(uyn)
+        fb = _feq_cols(rho_nb, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
+        return fb, rho_nb, ux_b, uy_b
+    if t == BC_FREE_SLIP:
+        ux_b = jnp.zeros_like(uxn)
+        uy_b = uyn
+        fb = _feq_cols(rho_nb, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
+        return fb, rho_nb, ux_b, uy_b
+    return None
+
+
+def bc_horizontal_values(fn, rho_nb, uxn, uyn, ramp, t, bc_val):
+    """Top/bottom-row BC values; None if no-op.
+
+    Only free-slip (type 2) and velocity-inlet (type 0) are meaningful here;
+    type 1 is a no-op away from x = nx-1 and is treated as a full no-op.
+    """
+    dtype = fn.dtype
+    if t == BC_FREE_SLIP:
+        # Horizontal wall: tangential (x) kept, normal (y) zeroed.
+        ux_b = uxn
+        uy_b = jnp.zeros_like(uyn)
+    elif t == BC_INLET:
+        v = bc_val.astype(dtype) * ramp
+        ux_b = v[0] * jnp.ones_like(uxn)
+        uy_b = v[1] * jnp.ones_like(uyn)
+    else:
+        return None
+    fb = _feq_cols(rho_nb, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
+    return fb, rho_nb, ux_b, uy_b
+
+
+def _apply_left(f, rho, u, ramp, p: CaseParams):
+    """West edge x=0, rows y=1..ny-2, neighbor x=1."""
+    vals = bc_left_values(
+        f[:, 1:-1, 1], rho[1:-1, 1], u[0, 1:-1, 1], u[1, 1:-1, 1], ramp,
+        p.bc_type[SIDE_LEFT], p.rho_in,
+    )
+    if vals is None:
+        return f, rho, u
+    fb, rho_b, ux_b, uy_b = vals
     f = f.at[:, 1:-1, 0].set(fb)
     rho = rho.at[1:-1, 0].set(rho_b)
-    u = u.at[0, 1:-1, 0].set(ux)
-    u = u.at[1, 1:-1, 0].set(uy)
+    u = u.at[0, 1:-1, 0].set(ux_b)
+    u = u.at[1, 1:-1, 0].set(uy_b)
     return f, rho, u
 
 
 def _apply_right(f, rho, u, ramp, p: CaseParams):
     """East edge x=nx-1, rows y=1..ny-2, neighbor x=nx-2."""
-    t = p.bc_type[SIDE_RIGHT]
-    fn = f[:, 1:-1, -2]
-    rho_nb = rho[1:-1, -2]
-    uxn, uyn = u[0, 1:-1, -2], u[1, 1:-1, -2]
-    n = fn.shape[1]
-    dtype = f.dtype
-
-    if t == BC_OUTLET:
-        # Zou-He pressure outlet with zero-gradient backflow guard
-        # (LBM2D_MRT_LES.py:494-527).
-        rho_o = p.rho_out.astype(dtype)
-        ux = -1.0 + (fn[0] + fn[2] + fn[4] + 2.0 * (fn[1] + fn[5] + fn[8])) / rho_o
-        backflow = ux < 0.0
-        rho_b = jnp.broadcast_to(rho_o, (n,))
-        # Normal branch: equilibrium at (rho_out, ux, 0) with Zou-He unknowns.
-        fz = _feq_cols(rho_b, ux, jnp.zeros_like(ux))
-        f3 = fn[1] - (2.0 / 3.0) * rho_o * ux
-        f6 = fn[8] - 0.5 * (fn[2] - fn[4]) - (1.0 / 6.0) * rho_o * ux
-        f7 = fn[5] + 0.5 * (fn[2] - fn[4]) - (1.0 / 6.0) * rho_o * ux
-        fz = fz.at[3].set(f3).at[6].set(f6).at[7].set(f7)
-        # Backflow branch: non-equilibrium extrapolation at neighbor velocity.
-        fbf = _feq_cols(rho_b, uxn, uyn) - _feq_cols(rho_nb, uxn, uyn) + fn
-        fb = jnp.where(backflow[None, :], fbf, fz)
-        ux_b = jnp.where(backflow, uxn, ux)
-        uy_b = jnp.where(backflow, uyn, jnp.zeros_like(uyn))
-    elif t == BC_INLET:
-        # Non-west inlet: prescribed-velocity NEBB (LBM2D_MRT_LES.py:487-492).
-        v = p.bc_value[SIDE_RIGHT].astype(dtype) * ramp
-        ux_b = jnp.broadcast_to(v[0], (n,))
-        uy_b = jnp.broadcast_to(v[1], (n,))
-        rho_b = rho_nb
-        fb = _feq_cols(rho_b, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
-    elif t == BC_FREE_SLIP:
-        ux_b = jnp.zeros((n,), dtype)
-        uy_b = uyn
-        rho_b = rho_nb
-        fb = _feq_cols(rho_b, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
-    else:
+    vals = bc_right_values(
+        f[:, 1:-1, -2], rho[1:-1, -2], u[0, 1:-1, -2], u[1, 1:-1, -2], ramp,
+        p.bc_type[SIDE_RIGHT], p.rho_out, p.bc_value[SIDE_RIGHT],
+    )
+    if vals is None:
         return f, rho, u
-
+    fb, rho_b, ux_b, uy_b = vals
     f = f.at[:, 1:-1, -1].set(fb)
     rho = rho.at[1:-1, -1].set(rho_b)
     u = u.at[0, 1:-1, -1].set(ux_b)
@@ -319,35 +370,15 @@ def _apply_right(f, rho, u, ramp, p: CaseParams):
 
 
 def _apply_horizontal(f, rho, u, ramp, p: CaseParams, side: int):
-    """Top (y=ny-1) / bottom (y=0) rows over ALL x, neighbor one row in.
-
-    Only free-slip (type 2) and velocity-inlet (type 0) are meaningful here,
-    matching the reference's usable configs; type 1 is a no-op away from
-    x = nx-1 and is treated as a full no-op.
-    """
-    t = p.bc_type[side]
+    """Top (y=ny-1) / bottom (y=0) rows over ALL x, neighbor one row in."""
     row, nbr = (-1, -2) if side == SIDE_TOP else (0, 1)
-    fn = f[:, nbr, :]
-    rho_nb = rho[nbr, :]
-    uxn, uyn = u[0, nbr, :], u[1, nbr, :]
-    n = fn.shape[1]
-    dtype = f.dtype
-
-    if t == BC_FREE_SLIP:
-        # Horizontal wall: tangential (x) kept, normal (y) zeroed.
-        ux_b = uxn
-        uy_b = jnp.zeros((n,), dtype)
-        rho_b = rho_nb
-        fb = _feq_cols(rho_b, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
-    elif t == BC_INLET:
-        v = p.bc_value[side].astype(dtype) * ramp
-        ux_b = jnp.broadcast_to(v[0], (n,))
-        uy_b = jnp.broadcast_to(v[1], (n,))
-        rho_b = rho_nb
-        fb = _feq_cols(rho_b, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
-    else:
+    vals = bc_horizontal_values(
+        f[:, nbr, :], rho[nbr, :], u[0, nbr, :], u[1, nbr, :], ramp,
+        p.bc_type[side], p.bc_value[side],
+    )
+    if vals is None:
         return f, rho, u
-
+    fb, rho_b, ux_b, uy_b = vals
     f = f.at[:, row, :].set(fb)
     rho = rho.at[row, :].set(rho_b)
     u = u.at[0, row, :].set(ux_b)

@@ -1,0 +1,404 @@
+"""Fused Pallas TPU stencil: one kernel per D2Q9 MRT-LES lattice update.
+
+Each grid program owns a full-width row band held in VMEM and performs the
+complete update the reference spreads over three Taichi kernels per step
+(LBM2D_MRT_LES.py:243-550): pull streaming, the exact integer moment
+transform, macro variables, equilibrium moments, Smagorinsky tau_eff, sponge
+damping, diagonal-S relaxation, inverse transform, Zou-He/free-slip boundary
+conditions, and the obstacle equilibrium overwrite. A fast step's HBM traffic
+is one read of f (with a small row-halo re-read) and one write of f -- about
+80 B/cell vs the ~15 materialized full arrays per step of the jnp/XLA path.
+
+Design notes (all forced by Mosaic's (8, 128) f32 tiling rules):
+  * f lives in a row-padded buffer ``[9, Hp + 2*PY, Wp]`` with global cell
+    (y, x) at (y + PY, x); Hp/Wp round H (resp. W) up to the row-band / lane
+    granularity. Row halos are re-read via an aligned window
+    ``[i*BH, i*BH + BH + 2*PY)``; x-direction streaming uses lane rolls
+    inside the band (wrap-around lands on the don't-care global ring), so no
+    column padding or halo is needed.
+  * DMA offsets must be tile-aligned, so the band store lands at row
+    ``PY + i*BH`` (PY = 8) and the load window at ``i*BH``.
+  * Columns [W, Wp) and rows [H, Hp) are garbage lanes: they start at zero,
+    only ever mix into the global ring (which the in-kernel BCs rewrite), and
+    are sliced away at chunk exit.
+  * The fast variant (scan body) outputs ONLY the padded f; rho/u/f_post are
+    produced by the full variant that closes each chunk, because nothing
+    inside a chunk consumes them (BCs use band-local values).
+
+Correctness contract: bitwise equality with the jnp path run_chunk
+(tests/test_pallas.py in interpret mode; also verified on hardware).
+Requires all four BC sides active (the standard [0,2,1,2] layout and every
+config the batch generator emits); the engine falls back to the jnp path
+otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.lattice import E, W, PI_REF
+from ..core.solver import (
+    BC_FREE_SLIP,
+    BC_INLET,
+    BC_OUTLET,
+    CaseParams,
+    LBMState,
+    bc_horizontal_values,
+    bc_left_values,
+    bc_right_values,
+    force_on_obstacle,
+    max_velocity,
+    mrt_collide_arrays,
+)
+
+PY = 8  # row padding = f32 sublane tile; also the halo alignment unit
+LANE = 128
+
+# scalar packing order for the SMEM input
+_S_TAU0, _S_CSF, _S_SG, _S_RAMP, _S_RHOIN, _S_RHOOUT = range(6)
+_S_BCV = 6  # bc_value flattened [4*2] starts here; 14 scalars total
+
+
+def supports(p: CaseParams) -> bool:
+    """True if the fused kernel implements this BC layout (all sides active:
+    the in-kernel BCs rewrite the whole global ring each step)."""
+    lt, tt, rt, bt = p.bc_type
+    return (
+        lt in (BC_INLET, BC_FREE_SLIP)
+        and rt in (BC_INLET, BC_OUTLET, BC_FREE_SLIP)
+        and tt in (BC_INLET, BC_FREE_SLIP)
+        and bt in (BC_INLET, BC_FREE_SLIP)
+    )
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _pick_bands(h: int, wp: int):
+    """(BH_fast, BH_full): row-band heights under the 16MB VMEM budget.
+
+    Measured on v5e: Mosaic's on-stack temporaries add ~12 band-planes to the
+    declared buffers, so the fast step costs ~32 planes/row and the full step
+    (extra rho/u/f_post outputs) ~44. The full band is half the fast band so
+    one padded buffer (Hp = ceil(H / BH_fast) * BH_fast) serves both grids.
+    Both bands must keep rows H-1 and H-2 together (top-BC locality).
+    """
+    budget = 12 * 1024 * 1024 // 4  # leave ~4MB headroom of the 16MB core
+    bh = 256
+    while bh > 16 and 32 * bh * wp + 9 * 2 * PY * wp > budget:
+        bh -= 16
+    while bh > 16 and (h % bh == 1 or h % (bh // 2) == 1):
+        bh -= 16
+    return max(16, bh), max(8, bh // 2)
+
+
+def _stream_band(scratch_in, BH: int):
+    """Pull streaming for one band: y via halo slices, x via lane rolls.
+
+    scratch_in: [9, BH + 2*PY, Wp] with the band's cells at rows [PY, PY+BH).
+    X wrap-around only corrupts the global ring columns 0 / W-1.
+    """
+    wp = scratch_in.shape[-1]
+    fs = []
+    for k in range(9):
+        ey, ex = int(E[k, 1]), int(E[k, 0])
+        plane = scratch_in[k, PY - ey : PY - ey + BH, :]
+        if ex:
+            # pltpu.roll requires a non-negative shift; -1 == wp - 1 (circular)
+            plane = pltpu.roll(plane, shift=ex % wp, axis=1)
+        fs.append(plane)
+    return jnp.stack(fs)
+
+
+def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, *, H, W_, BH, bc_type):
+    """In-band boundary conditions in apply_bc's sequential order
+    (left/right columns, then top/bottom rows including corners).
+
+    Every band holds the full domain width, so the left/right edges exist in
+    each band; the top/bottom rows live in specific bands (program-id gated).
+    """
+    ramp = scal_ref[0, _S_RAMP]
+    rho_in = scal_ref[0, _S_RHOIN]
+    rho_out = scal_ref[0, _S_RHOOUT]
+
+    Wp = f_new.shape[-1]
+    # Mosaic cannot lower functional .at[].set (scatter) nor strip<->plane
+    # reshapes, so each edge's BC is computed FULL-WIDTH -- the neighbor field
+    # is the whole plane rolled by one lane/sublane -- and merged with a
+    # (row, col)-masked jnp.where built from 2-D iotas. Wrap-around from the
+    # rolls only reaches masked-off cells.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BH, Wp), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (BH, Wp), 1)
+    rows_g = i * BH + row_ids
+    inner = (rows_g >= 1) & (rows_g <= H - 2)  # [BH, Wp]
+
+    def roll_x(shift):
+        # value at (y, x + shift_src): pltpu.roll needs non-negative shifts
+        def r(a):
+            return pltpu.roll(a, shift % Wp, axis=a.ndim - 1)
+
+        return r
+
+    def roll_y(shift):
+        def r(a):
+            return pltpu.roll(a, shift % BH, axis=a.ndim - 2)
+
+        return r
+
+    # Left/right BCs: computed full-width (the neighbor field is the plane
+    # rolled one lane) and merged with a column-masked jnp.where -- narrower
+    # slab variants crash the Mosaic compiler. jnp.where, NOT an arithmetic
+    # blend: unselected lanes may hold NaN from uninitialized pad-row halos,
+    # and 0 * NaN = NaN.
+    nb = roll_x(-1)
+    vals = bc_left_values(
+        nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[0], rho_in
+    )
+    if vals is not None:
+        fb, rho_b, ux_b, uy_b = vals
+        m = (col_ids == 0) & inner
+        f_new = jnp.where(m[None], fb, f_new)
+        rho = jnp.where(m, rho_b, rho)
+        ux = jnp.where(m, ux_b, ux)
+        uy = jnp.where(m, uy_b, uy)
+
+    # right edge (global x = W-1): neighbor is x-1 -> roll right by one lane
+    bcv2 = jnp.stack([scal_ref[0, _S_BCV + 4], scal_ref[0, _S_BCV + 5]])
+    nb = roll_x(1)
+    vals = bc_right_values(
+        nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[2], rho_out, bcv2
+    )
+    if vals is not None:
+        fb, rho_b, ux_b, uy_b = vals
+        m = (col_ids == W_ - 1) & inner
+        f_new = jnp.where(m[None], fb, f_new)
+        rho = jnp.where(m, rho_b, rho)
+        ux = jnp.where(m, ux_b, ux)
+        uy = jnp.where(m, uy_b, uy)
+
+    # top row (global y = H-1) and bottom row (y = 0): band-local static rows
+    # gated on the owning band's program id via lax.cond, so interior bands
+    # skip the (full-width f_eq-heavy) BC math entirely. _pick_bands
+    # guarantees the neighbor row lives in the same band.
+    i_top, r_top = divmod(H - 1, BH)
+    for side, band, row, shift, bcv_off in (
+        (1, i_top, r_top, 1, _S_BCV + 2),
+        (3, 0, 0, -1, _S_BCV + 6),
+    ):
+        if bc_type[side] not in (BC_INLET, BC_FREE_SLIP):
+            continue
+        bcv = jnp.stack([scal_ref[0, bcv_off], scal_ref[0, bcv_off + 1]])
+
+        def _with_bc(f_new=f_new, rho=rho, ux=ux, uy=uy, side=side, row=row, shift=shift, bcv=bcv):
+            nb = roll_y(shift)
+            fb, rho_b, ux_b, uy_b = bc_horizontal_values(
+                nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[side], bcv
+            )
+            m = row_ids == row
+            return (
+                jnp.where(m[None], fb, f_new),
+                jnp.where(m, rho_b, rho),
+                jnp.where(m, ux_b, ux),
+                jnp.where(m, uy_b, uy),
+            )
+
+        def _without(f_new=f_new, rho=rho, ux=ux, uy=uy):
+            return f_new, rho, ux, uy
+
+        f_new, rho, ux, uy = jax.lax.cond(i == band, _with_bc, _without)
+
+    return f_new, rho, ux, uy
+
+
+def _step_kernel(
+    scal_ref,  # SMEM (1, 14)
+    fp_hbm,  # HBM [9, Hp + 2*PY, Wp]
+    damp_ref,  # VMEM (BH, Wp)
+    mask_ref,  # VMEM (BH, Wp)
+    fp_new_hbm,  # HBM [9, Hp + 2*PY, Wp] (manual aligned DMA)
+    rho_ref,  # VMEM (BH, Wp) or None (fast)
+    u_ref,  # VMEM (2, BH, Wp) or None (fast)
+    f_post_ref,  # VMEM (9, BH, Wp) or None (fast)
+    scratch_in,  # VMEM (9, BH + 2*PY, Wp)
+    scratch_out,  # VMEM (9, BH, Wp)
+    sem_in,
+    sem_out,
+    *,
+    H: int,
+    W_: int,
+    BH: int,
+    use_les: bool,
+    bc_type,
+):
+    i = pl.program_id(0)
+    y0 = i * BH
+    load = pltpu.make_async_copy(
+        fp_hbm.at[:, pl.ds(y0, BH + 2 * PY), :], scratch_in, sem_in
+    )
+    load.start()
+    load.wait()
+
+    fs = _stream_band(scratch_in, BH)
+    f_post, rho, ux, uy = mrt_collide_arrays(
+        fs, damp_ref[:], scal_ref[0, _S_TAU0], scal_ref[0, _S_CSF],
+        scal_ref[0, _S_SG], use_les,
+    )
+    if f_post_ref is not None:
+        f_post_ref[:] = f_post
+
+    f_new, rho, ux, uy = _apply_bc_band(
+        f_post, rho, ux, uy, scal_ref, i, H=H, W_=W_, BH=BH, bc_type=bc_type
+    )
+
+    # obstacle equilibrium overwrite, after the BCs exactly like the
+    # reference (apply_bc tail, LBM2D_MRT_LES.py:452-455)
+    solid = mask_ref[:] > 0.5
+    f_eq_rest = jnp.stack([rho * float(W[k]) for k in range(9)])
+    scratch_out[:] = jnp.where(solid[None], f_eq_rest, f_new)
+    if rho_ref is not None:
+        rho_ref[:] = rho
+        u_ref[0] = jnp.where(solid, 0.0, ux)
+        u_ref[1] = jnp.where(solid, 0.0, uy)
+
+    store = pltpu.make_async_copy(
+        scratch_out, fp_new_hbm.at[:, pl.ds(y0 + PY, BH), :], sem_out
+    )
+    store.start()
+    store.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dims", "use_les", "bc_type", "full", "interpret")
+)
+def _pallas_step(fp, damping_p, mask_p, scalars, dims, use_les, bc_type, full, interpret):
+    """One fused lattice update. dims = (H, W, Hp, Wp, BH)."""
+    H, W_, Hp, Wp, BH = dims
+    dtype = fp.dtype
+    grid = (Hp // BH,)
+
+    out_shape = [jax.ShapeDtypeStruct(fp.shape, dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if full:
+        out_shape += [
+            jax.ShapeDtypeStruct((Hp, Wp), dtype),
+            jax.ShapeDtypeStruct((2, Hp, Wp), dtype),
+            jax.ShapeDtypeStruct((9, Hp, Wp), dtype),
+        ]
+        out_specs += [
+            pl.BlockSpec((BH, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BH, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, BH, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ]
+        kernel = functools.partial(
+            _step_kernel, H=H, W_=W_, BH=BH, use_les=use_les, bc_type=bc_type
+        )
+    else:
+
+        def kernel(scal, fh, dmp, msk, fn, s_in, s_out, sin, sout):
+            _step_kernel(
+                scal, fh, dmp, msk, fn, None, None, None, s_in, s_out, sin, sout,
+                H=H, W_=W_, BH=BH, use_les=use_les, bc_type=bc_type,
+            )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((BH, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BH, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((9, BH + 2 * PY, Wp), dtype),
+            pltpu.VMEM((9, BH, Wp), dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(scalars, fp, damping_p, mask_p)
+    return outs
+
+
+def _scalars(p: CaseParams, step, dtype):
+    """Pack per-step scalars (incl. the warmup ramp) into the SMEM row."""
+    progress = jnp.minimum(1.0, step.astype(dtype) / p.warmup_steps.astype(dtype))
+    ramp = 1.0 - jnp.cos(jnp.asarray(0.5 * PI_REF, dtype) * progress)
+    return jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    p.tau0.astype(dtype),
+                    p.cs_factor.astype(dtype),
+                    p.s_ghost.astype(dtype),
+                    ramp,
+                    p.rho_in.astype(dtype),
+                    p.rho_out.astype(dtype),
+                ]
+            ),
+            p.bc_value.astype(dtype).reshape(-1),
+        ]
+    ).reshape(1, 14)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
+def run_chunk_pallas(
+    state: LBMState, p: CaseParams, n_steps: int, interpret: bool = False
+):
+    """Advance n_steps with the fused kernel; same contract as run_chunk."""
+    if not supports(p):
+        raise ValueError(f"bc_type {p.bc_type} unsupported by the fused kernel")
+    _, H, W_ = state.f.shape
+    dtype = state.f.dtype
+    Wp = _round_up(W_, LANE)
+    bh_fast, bh_full = _pick_bands(H, Wp)
+    Hp = _round_up(H, bh_fast)  # bh_full = bh_fast/2 divides Hp too
+    dims_fast = (H, W_, Hp, Wp, bh_fast)
+    dims_full = (H, W_, Hp, Wp, bh_full)
+
+    fp = jnp.pad(state.f, ((0, 0), (PY, PY + (Hp - H)), (0, Wp - W_)))
+    damping_p = jnp.pad(p.damping, ((0, Hp - H), (0, Wp - W_)))
+    mask_p = jnp.pad(p.mask, ((0, Hp - H), (0, Wp - W_)))
+
+    def fast_body(carry, _):
+        fp, step = carry
+        step = step + 1
+        scal = _scalars(p, step, dtype)
+        (fp_new,) = _pallas_step(
+            fp, damping_p, mask_p, scal, dims_fast, p.use_les, p.bc_type,
+            False, interpret,
+        )
+        return (fp_new, step), None
+
+    carry = (fp, state.step)
+    if n_steps > 1:
+        carry, _ = jax.lax.scan(fast_body, carry, None, length=n_steps - 1)
+    fp, step = carry
+    step = step + 1
+    scal = _scalars(p, step, dtype)
+    fp, rho_p, u_p, fpost_p = _pallas_step(
+        fp, damping_p, mask_p, scal, dims_full, p.use_les, p.bc_type, True, interpret
+    )
+
+    f = fp[:, PY : PY + H, :W_]
+    rho = rho_p[:H, :W_]
+    u = u_p[:, :H, :W_]
+    # f_post keeps its initial-equilibrium ring (the reference never writes
+    # f_new on the ring); interior from the final step's collision output
+    f_post = state.f_post.at[:, 1:-1, 1:-1].set(fpost_p[:, 1 : H - 1, 1 : W_ - 1])
+
+    new_state = LBMState(f=f, f_post=f_post, rho=rho, u=u, step=step)
+    monitors = {
+        "force": force_on_obstacle(new_state.f_post, p.mask),
+        "max_v": max_velocity(new_state.u),
+    }
+    return new_state, monitors

@@ -1,0 +1,63 @@
+"""Fused Pallas step vs the jnp reference path (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lbm2d_tpu.core.solver import init_state, make_params, run_chunk
+from lbm2d_tpu.ops.pallas_step import run_chunk_pallas
+from tests.test_core_vs_oracle import tiny_config
+
+
+def cfg_grid(nx, ny):
+    cfg = tiny_config(nx=nx, ny=ny)
+    cfg["domain_zones"].update(
+        {"sponge_in": 6, "sponge_out": 10, "sponge_top": 4, "sponge_bot": 4}
+    )
+    return cfg
+
+
+def block_mask(ny, nx):
+    m = np.zeros((ny, nx), np.float32)
+    m[ny // 2 - 4 : ny // 2 + 4, nx // 3 : nx // 3 + 8] = 1.0
+    m[10:14, 2 * nx // 3 : 2 * nx // 3 + 5] = 1.0
+    return m
+
+
+def test_pallas_step_matches_jnp_multitile():
+    """3x3 tile grid exercises interior + edge + corner halo DMA paths."""
+    nx, ny = 384, 96
+    cfg = cfg_grid(nx, ny)
+    mask = block_mask(ny, nx)
+    p = make_params(cfg, mask)
+    st = init_state(ny, nx)
+
+    ref, ref_mon = run_chunk(st, p, 12)
+    got, got_mon = run_chunk_pallas(init_state(ny, nx), p, n_steps=12, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.rho), np.asarray(ref.rho), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u), atol=1e-6)
+    # f_post: the fast steps leave it stale; after the final full step the
+    # interior must match, and the ring must still be the initial equilibrium
+    np.testing.assert_allclose(
+        np.asarray(got.f_post), np.asarray(ref.f_post), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(got_mon["max_v"]), float(ref_mon["max_v"]), atol=1e-6
+    )
+    assert int(got.step) == 12
+
+
+def test_pallas_single_step_no_les():
+    nx, ny = 128, 32
+    cfg = cfg_grid(nx, ny)
+    cfg["simulation"]["smagorinsky_constant"] = 0.0
+    p = make_params(cfg, block_mask(ny, nx))
+    st = init_state(ny, nx)
+    ref, _ = run_chunk(st, p, 1)
+    got, _ = run_chunk_pallas(init_state(ny, nx), p, n_steps=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.f_post), np.asarray(ref.f_post), atol=1e-6)

@@ -1,0 +1,84 @@
+"""Post-process tests: zarrlite round-trip and the h5->zarr pipeline."""
+
+import json
+import os
+
+import numpy as np
+import h5py
+
+from lbm2d_tpu.post.zarrlite import ZarrGroup, open_array, read_attrs
+from lbm2d_tpu.post.h5_to_zarr import run as h5_to_zarr_run
+
+
+def test_zarrlite_roundtrip(tmp_path):
+    root = ZarrGroup(str(tmp_path / "case.zarr"), overwrite=True)
+    root.update_attrs({"case_name": "t", "reynolds_number": 123.4})
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((7, 9, 16, 33)).astype(np.float16)
+    path = root.create_array("turbulence", data, chunks=(3, 9, 16, 8))
+    back = open_array(path)
+    np.testing.assert_array_equal(back, data)
+    assert read_attrs(str(tmp_path / "case.zarr"))["reynolds_number"] == 123.4
+    # uncompressed variant
+    p2 = root.create_array("raw", data[0], chunks=(9, 8, 8), compressor=None)
+    np.testing.assert_array_equal(open_array(p2), data[0])
+    # zarr-v2 metadata sanity
+    meta = json.load(open(os.path.join(path, ".zarray")))
+    assert meta["zarr_format"] == 2
+    assert meta["dtype"] == "<f2"
+    assert meta["compressor"]["id"] == "zlib"
+
+
+def make_fake_case(raw_dir, name, t=12, h=16, w=24):
+    rng = np.random.default_rng(1)
+    os.makedirs(raw_dir, exist_ok=True)
+    path = os.path.join(raw_dir, f"{name}.h5")
+    with h5py.File(path, "w") as f:
+        turb = rng.normal(1.0, 0.05, (t, 9, h, w)).astype(np.float32)
+        f.create_dataset("turbulence", data=turb)
+        mask = np.zeros((h, w), np.float32)
+        mask[5:9, 8:12] = 1.0
+        from lbm2d_tpu.io.sdf import signed_distance_field
+
+        f.create_dataset("static_mask", data=np.stack([mask, signed_distance_field(mask)]))
+        f.create_dataset("mean_vel_field", data=turb.mean(axis=0))
+        f.create_dataset("mean_vel_sq_field", data=(turb[:, 3] ** 2).mean(axis=0))
+        f.create_dataset("sum_vor", data=np.abs(turb[:, 8]).sum(axis=0))
+    return path
+
+
+def test_h5_to_zarr_pipeline(tmp_path):
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "zarr")
+    summary = [
+        {
+            "case_name": "case_a",
+            "status": "Success",
+            "run_summary": {"h5_file": "case_a.h5"},
+            "parameters": {"physical_scaled": {"reynolds_number_calculated": 42.0}},
+        },
+        {"case_name": "bad", "status": "Failed"},
+    ]
+    make_fake_case(raw, "case_a")
+    spath = str(tmp_path / "summary.json")
+    with open(spath, "w") as fh:
+        json.dump(summary, fh)
+
+    stats = h5_to_zarr_run(spath, raw, out)
+    assert stats["cases"] == ["case_a"]
+    assert os.path.exists(os.path.join(out, "global_stats.json"))
+
+    zdir = os.path.join(out, "case_a.zarr")
+    turb = open_array(os.path.join(zdir, "turbulence"))
+    assert turb.dtype == np.float16
+    # z-scored: overall mean ~0, std ~1 per channel
+    t32 = turb.astype(np.float64)
+    assert abs(t32.mean()) < 0.1
+    assert 0.5 < t32.std() < 1.5
+    for name in ("vor", "sdf", "mix"):
+        wmap = open_array(os.path.join(zdir, "sampling_weights", name))
+        assert wmap.dtype == np.float32
+        assert wmap.min() >= 0.0 and wmap.max() <= 1.0 + 1e-6
+    sm = open_array(os.path.join(zdir, "static_mask"))
+    assert sm.shape[0] == 2
+    assert read_attrs(zdir)["reynolds_number"] == 42.0
