@@ -84,15 +84,16 @@ def _round_up(n: int, m: int) -> int:
 def _pick_bands(h: int, wp: int):
     """(BH_fast, BH_full): row-band heights under the 16MB VMEM budget.
 
-    Measured on v5e: Mosaic's on-stack temporaries add ~12 band-planes to the
-    declared buffers, so the fast step costs ~32 planes/row and the full step
-    (extra rho/u/f_post outputs) ~44. The full band is half the fast band so
-    one padded buffer (Hp = ceil(H / BH_fast) * BH_fast) serves both grids.
-    Both bands must keep rows H-1 and H-2 together (top-BC locality).
+    Per band row the fast step holds ~32 f32 planes (9 halo input, 9 output,
+    2x2 blocked damp/mask, ~12 Mosaic stack temporaries -- measured on v5e)
+    plus the 2*PY*9 halo rows; the full step adds ~12 (rho/u/f_post blocks).
+    The full band is half the fast band so one padded buffer
+    (Hp = ceil(H/BH)*BH) serves both grids. Both bands must keep rows H-1
+    and H-2 together (top-BC locality).
     """
     budget = 12 * 1024 * 1024 // 4  # leave ~4MB headroom of the 16MB core
     bh = 256
-    while bh > 16 and 32 * bh * wp + 9 * 2 * PY * wp > budget:
+    while bh > 16 and (32 * bh + 2 * PY * 9) * wp > budget:
         bh -= 16
     while bh > 16 and (h % bh == 1 or h % (bh // 2) == 1):
         bh -= 16
@@ -220,8 +221,8 @@ def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, *, H, W_, BH, bc_type):
 def _step_kernel(
     scal_ref,  # SMEM (1, 14)
     fp_hbm,  # HBM [9, Hp + 2*PY, Wp]
-    damp_ref,  # VMEM (BH, Wp)
-    mask_ref,  # VMEM (BH, Wp)
+    damp_ref,  # VMEM (BH, Wp) -- auto-pipelined blocked input
+    mask_ref,  # VMEM (BH, Wp) -- auto-pipelined blocked input
     fp_new_hbm,  # HBM [9, Hp + 2*PY, Wp] (manual aligned DMA)
     rho_ref,  # VMEM (BH, Wp) or None (fast)
     u_ref,  # VMEM (2, BH, Wp) or None (fast)
@@ -237,6 +238,11 @@ def _step_kernel(
     use_les: bool,
     bc_type,
 ):
+    """Each program owns one row band: DMA the halo window in, compute the
+    full update, DMA the band out. (A software-pipelined two-slot variant was
+    measured no faster -- the step is VPU-bound and the DMA engines already
+    overlap -- so the simple form is kept.)
+    """
     i = pl.program_id(0)
     y0 = i * BH
     load = pltpu.make_async_copy(
@@ -261,6 +267,7 @@ def _step_kernel(
     # reference (apply_bc tail, LBM2D_MRT_LES.py:452-455)
     solid = mask_ref[:] > 0.5
     f_eq_rest = jnp.stack([rho * float(W[k]) for k in range(9)])
+
     scratch_out[:] = jnp.where(solid[None], f_eq_rest, f_new)
     if rho_ref is not None:
         rho_ref[:] = rho

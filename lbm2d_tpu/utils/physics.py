@@ -75,3 +75,26 @@ def strouhal_number(omega: float, d: float, u: float, dt: float = 1.0) -> float:
     """St = f D / U with f = omega / 2pi (per-step angular frequency)."""
     f = omega / (2.0 * np.pi) / dt
     return f * d / u if u > 0 else 0.0
+
+
+def parabolic_inlet_velocity(j, u_max: float, ny: int):
+    """DFG parabolic inlet profile: 4 u_max y (h - y) / h^2, h = ny - 1
+    (reference LBM2D_MRT_LES.py:580-586)."""
+    y = np.asarray(j, float)
+    h = float(ny - 1)
+    return 4.0 * u_max * y * (h - y) / (h * h)
+
+
+def latin_hypercube(n_samples: int, bounds, rng=None) -> np.ndarray:
+    """Mixed Latin-hypercube sampler (reference notebooks/LHS_sampling.ipynb
+    role): one stratified uniform sample per dimension interval, shuffled.
+
+    ``bounds``: sequence of (lo, hi) per dimension. Returns [n, d].
+    """
+    rng = rng or np.random.default_rng()
+    bounds = np.asarray(bounds, float)
+    d = bounds.shape[0]
+    u = (rng.random((n_samples, d)) + np.arange(n_samples)[:, None]) / n_samples
+    for k in range(d):
+        rng.shuffle(u[:, k])
+    return bounds[:, 0] + u * (bounds[:, 1] - bounds[:, 0])
