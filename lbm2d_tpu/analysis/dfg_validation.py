@@ -48,7 +48,7 @@ def cylinder_case(nx=800, ny=400, diameter=40, u_target=0.08, re=150.0):
         },
     }
     yy, xx = np.mgrid[0:ny, 0:nx]
-    cy, cx = ny // 2 + 2, nx // 4  # slight offset seeds asymmetric shedding
+    cy, cx = ny // 2 + max(2, diameter // 8), nx // 4  # offset seeds shedding
     mask = ((xx - cx) ** 2 + (yy - cy) ** 2 <= (diameter / 2) ** 2).astype(np.float32)
     return cfg, mask
 
@@ -65,11 +65,21 @@ def run_validation(
 ) -> Dict:
     cfg, mask = cylinder_case(nx, ny, diameter, u_target, re)
     engine = LBMEngine(cfg, mask)
+    from ..core.stability import check_stability
+
     fx, fy, ts = [], [], []
     n_chunks = steps // chunk
     for i in range(n_chunks):
         engine.run_step(chunk)
         f = engine.get_force()
+        max_v = engine.get_max_velocity()
+        ok, reason = check_stability(
+            f, max_v, (i + 1) * chunk,
+            warmup_step=cfg["simulation"]["warmup_steps"],
+        )
+        if not ok:
+            print(f"  [breaker] {reason}")
+            break
         fx.append(float(f[0]))
         fy.append(float(f[1]))
         ts.append((i + 1) * chunk)

@@ -1,0 +1,268 @@
+"""Batched (vmap) datagen: advance many same-shape cases per chip in lockstep.
+
+This is the TPU-native replacement for the reference's serial case loop as
+the *throughput* path (SURVEY.md section 2.2, BASELINE config #4): cases that
+share a grid shape are stacked on a leading batch axis and advanced together
+by one compiled vmapped step; each case still gets its own HDF5 file, resume
+entry, and summary, so downstream consumers see the exact same artifacts as
+the serial pipeline. A diverged case freezes via its alive flag and is
+recorded Failed without disturbing its batchmates.
+
+All cases in one lockstep group must share (ny, nx), bc_type, LES on/off,
+and the save/record cadence (guaranteed for sibling configs emitted by
+config_batch_gen for the same mask; cross-mask groups require equal domain
+sizes, which metadata-driven projects commonly have).
+
+Usage:
+  python -m lbm2d_tpu.pipeline.batch_datagen --project_name Urban-1 [--max_batch 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.stability import check_stability
+from ..io import results_store, summary
+from ..io.h5_writer import AsyncLBMCaseWriter
+from ..io.vectors import build_npz
+from ..parallel.batch import BatchEngine
+from ..utils.config import load_config
+from ..utils.masks import create_mask
+from ..utils.scaling import calculate_physical_params
+from ..io.summary import build_summary_entry
+from . import paths
+from .batch_run import build_resume_plan, find_config_files
+
+
+def _group_key(cfg: Dict[str, Any]) -> Tuple:
+    sim = cfg["simulation"]
+    out = cfg["outputs"]
+    return (
+        sim["nx"],
+        sim["ny"],
+        tuple(cfg["boundary_condition"]["type"]),
+        sim["smagorinsky_constant"] > 0.001,
+        sim["compute_step_size"],
+        out["dataset"]["interval_steps"],
+        out.get("start_record_step", 0),
+        sim["max_steps"],
+    )
+
+
+def group_configs(
+    cfg_files: Sequence[str], config_dir: str, max_batch: int
+) -> List[List[Tuple[str, Dict[str, Any]]]]:
+    """Group config files into lockstep-compatible batches of <= max_batch."""
+    groups: Dict[Tuple, List[Tuple[str, Dict[str, Any]]]] = defaultdict(list)
+    for fname in cfg_files:
+        cfg = load_config(os.path.join(config_dir, fname))
+        groups[_group_key(cfg)].append((fname, cfg))
+    batches: List[List[Tuple[str, Dict[str, Any]]]] = []
+    for members in groups.values():
+        for i in range(0, len(members), max_batch):
+            batches.append(members[i : i + max_batch])
+    return batches
+
+
+def run_lockstep_group(
+    members: Sequence[Tuple[str, Dict[str, Any]]],
+    project_paths: Dict[str, str],
+    output_dirs: Dict[str, str],
+    progress: bool = True,
+) -> List[Dict[str, Any]]:
+    """Run one same-shape group in lockstep; returns per-case summary entries."""
+    cfg0 = members[0][1]
+    sim0 = cfg0["simulation"]
+    chunk = int(sim0["compute_step_size"])
+    data_interval = cfg0["outputs"]["dataset"]["interval_steps"]
+    start_record = cfg0["outputs"].get("start_record_step", 0)
+    max_steps = int(sim0["max_steps"])
+    dataset_on = cfg0["outputs"]["dataset"]["enable"]
+
+    masks, writers, h5_paths = [], [], []
+    for fname, cfg in members:
+        mask_path = os.path.join(
+            project_paths["masks"], os.path.basename(cfg["mask"]["path"])
+        )
+        mask = create_mask(cfg, mask_path).astype(np.float32)
+        masks.append(mask)
+        h5_path = os.path.join(
+            output_dirs["raw"], f"{cfg['simulation']['name']}.h5"
+        )
+        h5_paths.append(h5_path)
+        if dataset_on:
+            writers.append(
+                AsyncLBMCaseWriter(
+                    h5_path, cfg, sim0["nx"], sim0["ny"], mask_yx=mask
+                )
+            )
+        else:
+            writers.append(None)
+
+    engine = BatchEngine([cfg for _, cfg in members], masks)
+    n_cases = len(members)
+    fail_reason: List[Optional[str]] = [None] * n_cases
+    steps = 0
+    t0 = time.perf_counter()
+    while steps < max_steps:
+        mon = engine.run_step(chunk)
+        steps += chunk
+        alive = engine.alive_mask
+        for b in range(n_cases):
+            if fail_reason[b] is None and not alive[b]:
+                ok, reason = check_stability(
+                    mon["force"][b], mon["max_v"][b], steps,
+                    warmup_step=members[b][1]["simulation"]["warmup_steps"],
+                )
+                fail_reason[b] = reason or f"Instability at step {steps}"
+        if (
+            dataset_on
+            and data_interval
+            and steps % data_interval == 0
+            and steps >= start_record
+        ):
+            moments = engine.get_moments()  # [B, 9, H, W]
+            for b in range(n_cases):
+                if fail_reason[b] is None and writers[b] is not None:
+                    writers[b].append(moments[b])
+        if progress and steps % (chunk * 50) == 0:
+            done = steps / max_steps
+            print(f"  [lockstep x{n_cases}] {steps}/{max_steps} ({done:.0%})")
+    wall = time.perf_counter() - t0
+
+    u_np = np.asarray(engine.state.u)  # [B, 2, H, W]
+    entries = []
+    for b, (fname, cfg) in enumerate(members):
+        writer = writers[b]
+        tensor_shapes = {}
+        if writer is not None:
+            w = writer.writer
+            tensor_shapes = {
+                "static_mask": [2, w.target_h, w.target_w],
+                "turbulence": [w.running_count, w.channels, w.target_h, w.target_w],
+            }
+            writer.close()
+        if fail_reason[b] is not None:
+            for path in (h5_paths[b],):
+                if os.path.exists(path):
+                    os.remove(path)
+            entries.append(
+                {
+                    "case_name": cfg["simulation"]["name"],
+                    "config_filename": fname,
+                    "status": "Failed",
+                    "reason": fail_reason[b],
+                    "wall_time_s": round(wall, 2),
+                }
+            )
+            continue
+        inlet_u = float(np.mean(u_np[b, 0, 1:-1, 1]))
+        l_char = cfg["simulation"]["characteristic_length"]
+        nu = cfg["simulation"]["nu"]
+        lattice_md = {
+            "u_inlet_lattice_lu": inlet_u,
+            "reynolds_number_lattice_actual": (
+                inlet_u * l_char / nu if nu > 0 else float("inf")
+            ),
+            "l_char_lattice_px": l_char,
+            "nu_lattice_lu": nu,
+            "total_steps_executed": steps,
+            "h5_file": os.path.basename(h5_paths[b]),
+            "video_file": "N/A",
+        }
+        entry = build_summary_entry(
+            cfg,
+            lattice_md,
+            calculate_physical_params(cfg, lattice_md),
+            {"config_file": fname, "mask_file": os.path.basename(cfg["mask"]["path"])},
+        )
+        entry["config_filename"] = fname
+        entry["wall_time_s"] = round(wall, 2)
+        entry.setdefault("parameters", {})["simulation_outputs"] = {
+            "actual_reynolds_number": round(
+                lattice_md["reynolds_number_lattice_actual"], 4
+            ),
+            "total_steps_executed": steps,
+            "tensor_shapes": tensor_shapes,
+        }
+        entries.append(entry)
+    return entries
+
+
+def run_batched(
+    project_name: str,
+    max_batch: int = 16,
+    root: str = ".",
+    progress: bool = True,
+) -> Dict[str, int]:
+    project_paths = paths.get_project_paths(project_name, root=root)
+    output_dirs = paths.setup_output_directories(project_paths["outputs"])
+    config_meta_path = os.path.join(project_paths["project_base"], "config_meta.json")
+    sim_results_path = os.path.join(output_dirs["plots"], "sim_results.json")
+    legacy_summary_path = os.path.join(output_dirs["plots"], "all_cases_summary.json")
+    npz_path = os.path.join(output_dirs["plots"], "all_cases_vectors.npz")
+
+    config_meta = results_store.load_config_meta(config_meta_path)
+    if config_meta:
+        results_store.init_sim_results(config_meta, sim_results_path)
+    cfg_files = find_config_files(project_paths["configs"])
+    status_map = results_store.get_status_map(sim_results_path)
+    _done, skip = build_resume_plan(cfg_files, status_map)
+    todo = [f for f in cfg_files if f not in skip]
+    if not os.path.exists(legacy_summary_path):
+        summary.init_summary_file(legacy_summary_path)
+
+    batches = group_configs(todo, project_paths["configs"], max_batch)
+    print(
+        f"[BatchDatagen] {len(todo)} pending cases -> {len(batches)} lockstep "
+        f"group(s), max_batch={max_batch}"
+    )
+    stats = {"success": 0, "failed": 0, "skipped": len(skip)}
+    for gi, members in enumerate(batches):
+        names = [f for f, _ in members]
+        print(f"\n--- Group {gi + 1}/{len(batches)}: {len(members)} cases")
+        for fname in names:
+            results_store.set_status(fname, results_store.STATUS_RUNNING, sim_results_path)
+        entries = run_lockstep_group(members, project_paths, output_dirs, progress)
+        for entry in entries:
+            fname = entry["config_filename"]
+            if entry.get("status") == "Success":
+                results_store.fill_simulation_outputs(
+                    fname,
+                    entry["parameters"]["simulation_outputs"],
+                    entry.get("run_summary", {}),
+                    entry.get("wall_time_s", 0.0),
+                    sim_results_path,
+                )
+                stats["success"] += 1
+            else:
+                results_store.set_status(
+                    fname, results_store.STATUS_FAILED, sim_results_path,
+                    extra_fields={"reason": entry.get("reason", "Unknown")},
+                )
+                stats["failed"] += 1
+            summary.update_summary_file(entry, legacy_summary_path)
+    try:
+        build_npz(legacy_summary_path, npz_path)
+    except Exception as exc:
+        print(f"[Warning] NPZ build failed: {exc}")
+    print(f"\n[BatchDatagen] done: {stats}")
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="vmap lockstep batch datagen.")
+    ap.add_argument("--project_name", required=True)
+    ap.add_argument("--max_batch", type=int, default=16)
+    args = ap.parse_args()
+    run_batched(args.project_name, args.max_batch)
+
+
+if __name__ == "__main__":
+    main()

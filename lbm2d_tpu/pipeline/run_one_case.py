@@ -84,12 +84,33 @@ def main(
         )
 
         max_steps = int(config["simulation"]["max_steps"])
+
+        # optional in-case solver-state checkpointing (the reference can only
+        # restart a case from step 0; SURVEY.md section 5 checkpoint gap)
+        ckpt_cfg = config["outputs"].get("checkpoint", {})
+        ckpt_path = None
+        ckpt_interval = 0
+        if ckpt_cfg.get("enable"):
+            ckpt_path = ckpt_cfg.get("path") or (
+                (h5_output_path or "case") + ".ckpt.npz"
+            )
+            ckpt_interval = int(ckpt_cfg.get("interval_steps", 0))
+            if ckpt_cfg.get("resume") and os.path.exists(ckpt_path):
+                engine.load_checkpoint(ckpt_path)
+                print(f"[Checkpoint] resumed at step {engine.step_count}")
+
         metadata.update(
             run_simulation_loop(
                 config, engine, composer, recorder, writer, max_steps,
+                checkpoint_path=ckpt_path,
+                checkpoint_interval=ckpt_interval,
                 progress=progress,
             )
         )
+        if ckpt_path and metadata.get("status") == "Success":
+            # completed cases don't need their restart state any more
+            if os.path.exists(ckpt_path):
+                os.remove(ckpt_path)
 
         if metadata.get("status") == "Success":
             metadata["reason"] = "Completed successfully"
