@@ -26,10 +26,16 @@ from ..utils.physics import compute_coefficients, fit_sine_wave, strouhal_number
 
 
 def cylinder_case(nx=800, ny=400, diameter=40, u_target=0.08, re=150.0):
-    """Pressure-driven channel with one cylinder; nu set from the target Re."""
+    """Pressure-driven channel with one cylinder; nu set from the target Re.
+
+    With free-slip walls the only momentum sink is the cylinder, so the
+    steady velocity is set by drag balance, not Bernoulli:
+    dp * H = 0.5 Cd u^2 D with dp = (rho_in - rho_out)/3. A Bernoulli-sized
+    drive over-accelerates the channel until the stability breaker trips.
+    """
     nu = u_target * diameter / re
-    # Bernoulli inversion: u = sqrt(2/3 (rho_in - rho_out))
-    rho_in = 1.0 + 1.5 * u_target**2
+    cd_est = 1.3
+    rho_in = 1.0 + 3.0 * 0.5 * cd_est * u_target**2 * diameter / ny
     cfg = {
         "simulation": {
             "nx": nx, "ny": ny, "name": f"dfg_re{int(re)}", "nu": nu,
@@ -111,8 +117,19 @@ def run_validation(
     if popt is not None:
         # popt omega is per recorded sample; samples are `chunk` steps apart
         omega_per_step = popt[1] / chunk
-        result["strouhal"] = strouhal_number(omega_per_step, diameter, u_in)
+        result["strouhal_sine_fit"] = strouhal_number(omega_per_step, diameter, u_in)
         result["lift_fit_amplitude"] = float(abs(popt[0]))
+
+    # FFT-peak Strouhal over the last quarter (most stationary window); more
+    # robust than the sine fit while the shedding amplitude still grows
+    tail = fy[-max(16, len(fy) // 4) :]
+    tail = tail - tail.mean()
+    if len(tail) >= 16 and np.std(tail) > 0:
+        spec = np.abs(np.fft.rfft(tail))
+        freqs = np.fft.rfftfreq(len(tail), d=chunk)  # cycles per lattice step
+        k = 1 + int(np.argmax(spec[1:]))
+        result["strouhal"] = float(freqs[k] * diameter / u_in)
+        result["shedding_periods_in_window"] = float(freqs[k] * len(tail) * chunk)
     return result
 
 

@@ -104,6 +104,54 @@ def f_eq(rho, ux, uy):
     return jnp.stack(comps)
 
 
+def f_eq_unit(ux, uy):
+    """f_eq / rho: the equilibrium's velocity factor g_k(u), [9, *S].
+
+    f_eq is linear in rho, so boundary formulas of the form
+    f_eq(a, u) - f_eq(b, u) collapse to (a - b) * g(u) -- one evaluation
+    instead of two (hot-kernel BC cost).
+    """
+    usq = ux * ux + uy * uy
+    comps = []
+    for k in range(9):
+        ex, ey, w = float(E[k, 0]), float(E[k, 1]), float(W[k])
+        if ex == 0 and ey == 0:
+            inner = 1.0 - 1.5 * usq
+        else:
+            if ey == 0:
+                eu = ex * ux
+            elif ex == 0:
+                eu = ey * uy
+            else:
+                eu = ex * ux + ey * uy
+            inner = 1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * usq
+        comps.append(w * inner)
+    return jnp.stack(comps)
+
+
+def f_eq_unit_x(ux):
+    """g_k(ux, 0): only three distinct inner values (e_x in {-1, 0, +1}),
+    bitwise-equal to f_eq_unit(ux, 0) at a third of the arithmetic."""
+    usq = ux * ux
+    inner0 = 1.0 - 1.5 * usq
+    innp = 1.0 + 3.0 * ux + 4.5 * ux * ux - 1.5 * usq
+    neg = -ux
+    innm = 1.0 + 3.0 * neg + 4.5 * neg * neg - 1.5 * usq
+    by_ex = {0: inner0, 1: innp, -1: innm}
+    return jnp.stack([float(W[k]) * by_ex[int(E[k, 0])] for k in range(9)])
+
+
+def f_eq_unit_y(uy):
+    """g_k(0, uy): three distinct inner values along e_y."""
+    usq = uy * uy
+    inner0 = 1.0 - 1.5 * usq
+    innp = 1.0 + 3.0 * uy + 4.5 * uy * uy - 1.5 * usq
+    neg = -uy
+    innm = 1.0 + 3.0 * neg + 4.5 * neg * neg - 1.5 * usq
+    by_ey = {0: inner0, 1: innp, -1: innm}
+    return jnp.stack([float(W[k]) * by_ey[int(E[k, 1])] for k in range(9)])
+
+
 def m_eq(rho, ux, uy):
     """Moment-space equilibrium, shape [9, *S] (LBM2D_MRT_LES.py:221-233)."""
     u2 = ux * ux + uy * uy

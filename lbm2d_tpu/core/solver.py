@@ -30,7 +30,19 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .lattice import E, OPP, W, PI_REF, f_eq, m_eq, moments_from_f, f_from_moments
+from .lattice import (
+    E,
+    OPP,
+    W,
+    PI_REF,
+    f_eq,
+    f_eq_unit,
+    f_eq_unit_x,
+    f_eq_unit_y,
+    m_eq,
+    moments_from_f,
+    f_from_moments,
+)
 from .sponge import sponge_damping_field
 
 # BC side indices as used by the reference apply_bc (:445-450).
@@ -308,7 +320,7 @@ def bc_left_values(fn, rho_nb, uxn, uyn, ramp, t, rho_in):
         rho_b = rho_c * jnp.ones_like(rho_nb)
         ux = 1.0 - (fn[0] + fn[2] + fn[4] + 2.0 * (fn[3] + fn[6] + fn[7])) / rho_c
         uy = jnp.zeros_like(ux)
-        feq = _feq_cols(rho_b, ux, uy)
+        feq = rho_c * f_eq_unit_x(ux)  # f_eq linear in rho, uy = 0
         f1 = fn[3] + (2.0 / 3.0) * rho_c * ux
         f5 = fn[7] - 0.5 * (fn[2] - fn[4]) + (1.0 / 6.0) * rho_c * ux
         f8 = fn[6] + 0.5 * (fn[2] - fn[4]) + (1.0 / 6.0) * rho_c * ux
@@ -321,7 +333,7 @@ def bc_left_values(fn, rho_nb, uxn, uyn, ramp, t, rho_in):
         # Vertical wall: normal (x) velocity zeroed, tangential (y) kept.
         ux = jnp.zeros_like(uxn)
         uy = uyn
-        fb = _feq_cols(rho_nb, ux, uy) - _feq_cols(rho_nb, uxn, uyn) + fn
+        fb = rho_nb * (f_eq_unit_y(uyn) - f_eq_unit(uxn, uyn)) + fn
         return fb, rho_nb, ux, uy
     # Type 1 on the left edge is a no-op in the reference (:494 guard).
     return None
@@ -340,14 +352,15 @@ def bc_right_values(fn, rho_nb, uxn, uyn, ramp, t, rho_out, bc_val):
         ux = -1.0 + (fn[0] + fn[2] + fn[4] + 2.0 * (fn[1] + fn[5] + fn[8])) / rho_o
         backflow = ux < 0.0
         rho_b = rho_o * jnp.ones_like(rho_nb)
-        feq = _feq_cols(rho_b, ux, jnp.zeros_like(ux))
+        feq = rho_o * f_eq_unit_x(ux)  # uy = 0 specialization
         f3 = fn[1] - (2.0 / 3.0) * rho_o * ux
         f6 = fn[8] - 0.5 * (fn[2] - fn[4]) - (1.0 / 6.0) * rho_o * ux
         f7 = fn[5] + 0.5 * (fn[2] - fn[4]) - (1.0 / 6.0) * rho_o * ux
         fz = jnp.stack(
             [feq[0], feq[1], feq[2], f3, feq[4], feq[5], f6, f7, feq[8]]
         )
-        fbf = _feq_cols(rho_b, uxn, uyn) - _feq_cols(rho_nb, uxn, uyn) + fn
+        # f_eq is linear in rho: f_eq(a,u) - f_eq(b,u) = (a-b) g(u)
+        fbf = (rho_o - rho_nb) * f_eq_unit(uxn, uyn) + fn
         fb = jnp.where(backflow[None], fbf, fz)
         ux_b = jnp.where(backflow, uxn, ux)
         uy_b = jnp.where(backflow, uyn, jnp.zeros_like(uyn))
@@ -357,12 +370,12 @@ def bc_right_values(fn, rho_nb, uxn, uyn, ramp, t, rho_out, bc_val):
         v = bc_val.astype(dtype) * ramp
         ux_b = v[0] * jnp.ones_like(uxn)
         uy_b = v[1] * jnp.ones_like(uyn)
-        fb = _feq_cols(rho_nb, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
+        fb = rho_nb * (f_eq_unit(ux_b, uy_b) - f_eq_unit(uxn, uyn)) + fn
         return fb, rho_nb, ux_b, uy_b
     if t == BC_FREE_SLIP:
         ux_b = jnp.zeros_like(uxn)
         uy_b = uyn
-        fb = _feq_cols(rho_nb, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
+        fb = rho_nb * (f_eq_unit_y(uyn) - f_eq_unit(uxn, uyn)) + fn
         return fb, rho_nb, ux_b, uy_b
     return None
 
@@ -378,13 +391,15 @@ def bc_horizontal_values(fn, rho_nb, uxn, uyn, ramp, t, bc_val):
         # Horizontal wall: tangential (x) kept, normal (y) zeroed.
         ux_b = uxn
         uy_b = jnp.zeros_like(uyn)
+        g_b = f_eq_unit_x(uxn)  # uy = 0 specialization
     elif t == BC_INLET:
         v = bc_val.astype(dtype) * ramp
         ux_b = v[0] * jnp.ones_like(uxn)
         uy_b = v[1] * jnp.ones_like(uyn)
+        g_b = f_eq_unit(ux_b, uy_b)
     else:
         return None
-    fb = _feq_cols(rho_nb, ux_b, uy_b) - _feq_cols(rho_nb, uxn, uyn) + fn
+    fb = rho_nb * (g_b - f_eq_unit(uxn, uyn)) + fn
     return fb, rho_nb, ux_b, uy_b
 
 

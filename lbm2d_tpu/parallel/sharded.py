@@ -32,6 +32,9 @@ from ..core.solver import (
     BC_OUTLET,
     CaseParams,
     LBMState,
+    bc_horizontal_values,
+    bc_left_values,
+    bc_right_values,
     force_on_obstacle,
     max_velocity,
     mrt_collide,
@@ -75,10 +78,6 @@ def exchange_halo_f(f: jnp.ndarray, mesh) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _strip_feq(rho, ux, uy):
-    return f_eq(rho, ux, uy)  # [9, n]
-
-
 def _sharded_apply_bc(f, rho, u, step, p: CaseParams, ny: int, nx: int):
     """apply_bc on local blocks; global-edge shards detected via axis_index."""
     dtype = f.dtype
@@ -109,62 +108,24 @@ def _sharded_apply_bc(f, rho, u, step, p: CaseParams, ny: int, nx: int):
         u = u.at[1, row, :].set(jnp.where(sel, uy_b, u[1, row, :]))
         return f, rho, u
 
-    # -- left edge (global x == 0): Zou-He pressure inlet or free-slip -------
-    t = p.bc_type[0]
-    if t in (BC_INLET, BC_FREE_SLIP):
+    # -- left edge (global x == 0), neighbor x == 1 ---------------------------
+    vals = bc_left_values(
+        f[:, :, 1], rho[:, 1], u[0, :, 1], u[1, :, 1], ramp,
+        p.bc_type[0], p.rho_in,
+    )
+    if vals is not None:
+        fb, rho_b, ux_b, uy_b = vals
         sel = inner_rows & (x0 == 0)
-        fn = f[:, :, 1]
-        rho_nb, uxn, uyn = rho[:, 1], u[0, :, 1], u[1, :, 1]
-        if t == BC_INLET:
-            rho_c = 1.0 + (p.rho_in.astype(dtype) - 1.0) * ramp
-            rho_b = jnp.broadcast_to(rho_c, (h,))
-            ux = 1.0 - (fn[0] + fn[2] + fn[4] + 2.0 * (fn[3] + fn[6] + fn[7])) / rho_c
-            uy = jnp.zeros_like(ux)
-            fb = _strip_feq(rho_b, ux, uy)
-            fb = (
-                fb.at[1].set(fn[3] + (2.0 / 3.0) * rho_c * ux)
-                .at[5].set(fn[7] - 0.5 * (fn[2] - fn[4]) + (1.0 / 6.0) * rho_c * ux)
-                .at[8].set(fn[6] + 0.5 * (fn[2] - fn[4]) + (1.0 / 6.0) * rho_c * ux)
-            )
-        else:
-            ux = jnp.zeros((h,), dtype)
-            uy = uyn
-            rho_b = rho_nb
-            fb = _strip_feq(rho_b, ux, uy) - _strip_feq(rho_nb, uxn, uyn) + fn
-        f, rho, u = set_col(f, rho, u, 0, fb, rho_b, ux, uy, sel)
+        f, rho, u = set_col(f, rho, u, 0, fb, rho_b, ux_b, uy_b, sel)
 
-    # -- right edge (global x == nx-1): Zou-He outlet / velocity / slip ------
-    t = p.bc_type[2]
-    if t in (BC_OUTLET, BC_INLET, BC_FREE_SLIP):
+    # -- right edge (global x == nx-1), neighbor x == nx-2 --------------------
+    vals = bc_right_values(
+        f[:, :, -2], rho[:, -2], u[0, :, -2], u[1, :, -2], ramp,
+        p.bc_type[2], p.rho_out, p.bc_value[2],
+    )
+    if vals is not None:
+        fb, rho_b, ux_b, uy_b = vals
         sel = inner_rows & (x0 + w == nx)
-        fn = f[:, :, -2]
-        rho_nb, uxn, uyn = rho[:, -2], u[0, :, -2], u[1, :, -2]
-        if t == BC_OUTLET:
-            rho_o = p.rho_out.astype(dtype)
-            ux = -1.0 + (fn[0] + fn[2] + fn[4] + 2.0 * (fn[1] + fn[5] + fn[8])) / rho_o
-            backflow = ux < 0.0
-            rho_b = jnp.broadcast_to(rho_o, (h,))
-            fz = _strip_feq(rho_b, ux, jnp.zeros_like(ux))
-            fz = (
-                fz.at[3].set(fn[1] - (2.0 / 3.0) * rho_o * ux)
-                .at[6].set(fn[8] - 0.5 * (fn[2] - fn[4]) - (1.0 / 6.0) * rho_o * ux)
-                .at[7].set(fn[5] + 0.5 * (fn[2] - fn[4]) - (1.0 / 6.0) * rho_o * ux)
-            )
-            fbf = _strip_feq(rho_b, uxn, uyn) - _strip_feq(rho_nb, uxn, uyn) + fn
-            fb = jnp.where(backflow[None, :], fbf, fz)
-            ux_b = jnp.where(backflow, uxn, ux)
-            uy_b = jnp.where(backflow, uyn, jnp.zeros_like(uyn))
-        elif t == BC_INLET:
-            v = p.bc_value[2].astype(dtype) * ramp
-            ux_b = jnp.broadcast_to(v[0], (h,))
-            uy_b = jnp.broadcast_to(v[1], (h,))
-            rho_b = rho_nb
-            fb = _strip_feq(rho_b, ux_b, uy_b) - _strip_feq(rho_nb, uxn, uyn) + fn
-        else:
-            ux_b = jnp.zeros((h,), dtype)
-            uy_b = uyn
-            rho_b = rho_nb
-            fb = _strip_feq(rho_b, ux_b, uy_b) - _strip_feq(rho_nb, uxn, uyn) + fn
         f, rho, u = set_col(f, rho, u, w - 1, fb, rho_b, ux_b, uy_b, sel)
 
     # -- top row (global y == ny-1) and bottom row (global y == 0) -----------
@@ -172,22 +133,14 @@ def _sharded_apply_bc(f, rho, u, step, p: CaseParams, ny: int, nx: int):
         (1, h - 1, h - 2, y0 + h == ny),
         (3, 0, 1, y0 == 0),
     ):
-        t = p.bc_type[side]
-        if t not in (BC_FREE_SLIP, BC_INLET):
+        vals = bc_horizontal_values(
+            f[:, nbr, :], rho[nbr, :], u[0, nbr, :], u[1, nbr, :], ramp,
+            p.bc_type[side], p.bc_value[side],
+        )
+        if vals is None:
             continue
+        fb, rho_b, ux_b, uy_b = vals
         sel = jnp.broadcast_to(jnp.asarray(on_edge), (w,))
-        fn = f[:, nbr, :]
-        rho_nb, uxn, uyn = rho[nbr, :], u[0, nbr, :], u[1, nbr, :]
-        if t == BC_FREE_SLIP:
-            ux_b = uxn
-            uy_b = jnp.zeros((w,), dtype)
-            rho_b = rho_nb
-        else:
-            v = p.bc_value[side].astype(dtype) * ramp
-            ux_b = jnp.broadcast_to(v[0], (w,))
-            uy_b = jnp.broadcast_to(v[1], (w,))
-            rho_b = rho_nb
-        fb = _strip_feq(rho_b, ux_b, uy_b) - _strip_feq(rho_nb, uxn, uyn) + fn
         f, rho, u = set_row(f, rho, u, row, fb, rho_b, ux_b, uy_b, sel)
 
     # -- obstacles ------------------------------------------------------------
