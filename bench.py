@@ -23,7 +23,7 @@ def main() -> None:
     from lbm2d_tpu.ops.pallas_step import run_chunk_pallas as run_chunk
 
     nx = ny = 1024
-    steps_per_chunk = 100
+    steps_per_chunk = 500  # monitor cadence; matches run_chunk's per-chunk force/max_v
     cfg = _demo_config(nx, ny, nu=0.01, warmup=2000)
     p = make_params(cfg, _cylinder_mask(ny, nx))
     state = init_state(ny, nx)
@@ -37,7 +37,7 @@ def main() -> None:
     state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
     sync(mon)
 
-    n_chunks = 10
+    n_chunks = 4
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
@@ -51,7 +51,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "MLUPS/chip 1024^2 D2Q9 MRT-LES (cylinder, f32)",
+                "metric": "MLUPS/chip 1024^2 D2Q9 MRT-LES (cylinder, f32, 500-step monitor cadence)",
                 "value": round(mlups, 1),
                 "unit": "MLUPS",
                 "vs_baseline": round(mlups / 10000.0, 4),

@@ -120,16 +120,20 @@ def run_validation(
         result["strouhal_sine_fit"] = strouhal_number(omega_per_step, diameter, u_in)
         result["lift_fit_amplitude"] = float(abs(popt[0]))
 
-    # FFT-peak Strouhal over the last quarter (most stationary window); more
-    # robust than the sine fit while the shedding amplitude still grows
+    # FFT-peak Strouhal over the last quarter (most stationary window); the
+    # mean flow still drifts slowly, so remove a quadratic trend first --
+    # otherwise the lowest bin wins regardless of the shedding line.
     tail = fy[-max(16, len(fy) // 4) :]
-    tail = tail - tail.mean()
     if len(tail) >= 16 and np.std(tail) > 0:
-        spec = np.abs(np.fft.rfft(tail))
-        freqs = np.fft.rfftfreq(len(tail), d=chunk)  # cycles per lattice step
+        tt = np.arange(len(tail), dtype=float)
+        trend = np.polyval(np.polyfit(tt, tail, 2), tt)
+        osc = tail - trend
+        spec = np.abs(np.fft.rfft(osc * np.hanning(len(osc))))
+        freqs = np.fft.rfftfreq(len(osc), d=chunk)  # cycles per lattice step
         k = 1 + int(np.argmax(spec[1:]))
         result["strouhal"] = float(freqs[k] * diameter / u_in)
-        result["shedding_periods_in_window"] = float(freqs[k] * len(tail) * chunk)
+        result["shedding_periods_in_window"] = float(freqs[k] * len(osc) * chunk)
+        result["lift_oscillation_rms"] = float(np.sqrt(np.mean(osc**2)))
     return result
 
 

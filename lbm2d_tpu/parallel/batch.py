@@ -129,6 +129,11 @@ class BatchEngine:
     def get_moments(self) -> np.ndarray:
         return np.asarray(moments_batched(self.state))
 
+    def get_moments_device(self):
+        """[B, 9, H, W] moments as a device array (for fused post-processing
+        like the on-device dataset resize)."""
+        return moments_batched(self.state)
+
     @property
     def alive_mask(self) -> np.ndarray:
         return np.asarray(self.alive)

@@ -75,6 +75,7 @@ def run_lockstep_group(
     project_paths: Dict[str, str],
     output_dirs: Dict[str, str],
     progress: bool = True,
+    device_resize: bool = False,
 ) -> List[Dict[str, Any]]:
     """Run one same-shape group in lockstep; returns per-case summary entries."""
     cfg0 = members[0][1]
@@ -107,6 +108,17 @@ def run_lockstep_group(
 
     engine = BatchEngine([cfg for _, cfg in members], masks)
     n_cases = len(members)
+
+    # Optional on-device dataset resize: crop the ROI and area-average to the
+    # save resolution on the TPU, shipping [B, 9, 256, W'] over the wire
+    # instead of the full grid (within ~1e-6 of the host cv2.INTER_AREA path).
+    resizer = None
+    if device_resize and dataset_on and writers[0] is not None:
+        from ..ops.resize import make_device_resizer
+
+        w0 = writers[0].writer
+        _crop = (slice(None), slice(None), w0.slice_y, w0.slice_x)
+        resizer = make_device_resizer(w0.crop_h, w0.crop_w, w0.target_h, w0.target_w)
     fail_reason: List[Optional[str]] = [None] * n_cases
     steps = 0
     t0 = time.perf_counter()
@@ -127,10 +139,13 @@ def run_lockstep_group(
             and steps % data_interval == 0
             and steps >= start_record
         ):
-            moments = engine.get_moments()  # [B, 9, H, W]
+            if resizer is not None:
+                moments = np.asarray(resizer(engine.get_moments_device()[_crop]))
+            else:
+                moments = engine.get_moments()  # [B, 9, H, W]
             for b in range(n_cases):
                 if fail_reason[b] is None and writers[b] is not None:
-                    writers[b].append(moments[b])
+                    writers[b].append(moments[b], pre_resized=resizer is not None)
         if progress and steps % (chunk * 50) == 0:
             done = steps / max_steps
             print(f"  [lockstep x{n_cases}] {steps}/{max_steps} ({done:.0%})")
@@ -200,6 +215,7 @@ def run_batched(
     max_batch: int = 16,
     root: str = ".",
     progress: bool = True,
+    device_resize: bool = False,
 ) -> Dict[str, int]:
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -229,7 +245,9 @@ def run_batched(
         print(f"\n--- Group {gi + 1}/{len(batches)}: {len(members)} cases")
         for fname in names:
             results_store.set_status(fname, results_store.STATUS_RUNNING, sim_results_path)
-        entries = run_lockstep_group(members, project_paths, output_dirs, progress)
+        entries = run_lockstep_group(
+            members, project_paths, output_dirs, progress, device_resize
+        )
         for entry in entries:
             fname = entry["config_filename"]
             if entry.get("status") == "Success":
@@ -260,8 +278,12 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="vmap lockstep batch datagen.")
     ap.add_argument("--project_name", required=True)
     ap.add_argument("--max_batch", type=int, default=16)
+    ap.add_argument(
+        "--device_resize", action="store_true",
+        help="crop+resize dataset frames on device before the host transfer",
+    )
     args = ap.parse_args()
-    run_batched(args.project_name, args.max_batch)
+    run_batched(args.project_name, args.max_batch, device_resize=args.device_resize)
 
 
 if __name__ == "__main__":

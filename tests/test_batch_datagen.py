@@ -100,3 +100,22 @@ def test_lockstep_matches_serial(tmp_path):
     with h5py.File(os.path.join(root_b, "outputs/P/raw/mask_00_Nu0-0500.h5")) as fb:
         turb_b = fb["turbulence"][:]
     np.testing.assert_allclose(turb_a, turb_b, atol=1e-6)
+
+
+def test_device_resize_matches_host_path(tmp_path):
+    """--device_resize output matches the host cv2 path within fp tolerance."""
+    root_a = str(tmp_path / "host")
+    root_b = str(tmp_path / "dev")
+    os.makedirs(root_a)
+    os.makedirs(root_b)
+    for root in (root_a, root_b):
+        make_two_case_project(root, name="RZ")
+    run_batched("RZ", max_batch=8, root=root_a, progress=False)
+    run_batched("RZ", max_batch=8, root=root_b, progress=False, device_resize=True)
+    for case in ("mask_00_Nu0-0500", "mask_00_Nu0-0300"):
+        with h5py.File(os.path.join(root_a, "outputs/RZ/raw", f"{case}.h5")) as fa:
+            ta = fa["turbulence"][:]
+        with h5py.File(os.path.join(root_b, "outputs/RZ/raw", f"{case}.h5")) as fb:
+            tb = fb["turbulence"][:]
+        assert ta.shape == tb.shape
+        np.testing.assert_allclose(ta, tb, atol=5e-5)
