@@ -194,7 +194,7 @@ def run_chunk_sharded(state: LBMState, p: CaseParams, n_steps: int, mesh, ny: in
         s, _ = lax.scan(body, state_l, None, length=n_steps)
         return s
 
-    s_specs, p_specs = state_specs(), params_specs()
+    s_specs, p_specs = state_specs(), params_specs(p)
     state = shard_map(
         chunk, mesh=mesh, in_specs=(s_specs, p_specs), out_specs=s_specs,
     )(state, p)

@@ -54,13 +54,13 @@ def state_specs():
     )
 
 
-def params_specs():
+def params_specs(p=None):
     """PartitionSpecs for a CaseParams pytree (fields sharded, scalars
-    replicated)."""
+    replicated). Pass the actual params so the static fields (use_les,
+    bc_type) -- which are part of the treedef -- match."""
     from ..core.solver import CaseParams
-    import jax.numpy as jnp
 
-    return CaseParams(
+    specs = dict(
         mask=P(AXIS_Y, AXIS_X),
         damping=P(AXIS_Y, AXIS_X),
         tau0=P(),
@@ -71,11 +71,14 @@ def params_specs():
         warmup_steps=P(),
         bc_value=P(),
     )
+    if p is not None:
+        return p.replace(**specs)
+    return CaseParams(**specs)
 
 
 def shard_state(state, p, mesh: Mesh):
     """Place an (unsharded) state + params onto the mesh."""
-    s_specs, p_specs = state_specs(), params_specs()
+    s_specs, p_specs = state_specs(), params_specs(p)
     put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
     state = jax.tree.map(put, state, s_specs)
     p = jax.tree.map(put, p, p_specs)

@@ -96,3 +96,35 @@ def test_batch_divergence_freezes_only_bad_case():
     assert not alive[1], "unstable case must trip the breaker"
     # the healthy case's fields stay finite even though its neighbor blew up
     assert np.isfinite(np.asarray(be.state.f[0])).all()
+
+
+def test_sharded_corner_transport():
+    """A point disturbance near a 4-shard corner must cross diagonally --
+    exercises the two-hop corner halo (x exchange then y exchange)."""
+    nx, ny = 64, 32
+    cfg = grid_config(nx, ny, rho_in=1.0)  # no driving: pure advection test
+    cfg["simulation"]["smagorinsky_constant"] = 0.0
+    p = make_params(cfg, np.zeros((ny, nx), np.float32))
+
+    st = init_state(ny, nx)
+    # bump the NE-moving population at the cell just SW of the global center
+    # (the center is the corner point of a 2x2 shard split)
+    f = np.array(st.f)
+    cy, cx = ny // 2 - 1, nx // 2 - 1
+    f[5, cy, cx] += 0.01  # k=5 moves (+1, +1)
+    st = st.replace(f=jnp.asarray(f))
+
+    ref, _ = run_chunk(st, p, 3)
+
+    mesh = make_mesh(shape=(2, 4))
+    st_sh, p_sh = shard_state(st, p, mesh)
+    sh, _ = run_chunk_sharded(st_sh, p_sh, n_steps=3, mesh=mesh, ny=ny, nx=nx)
+
+    np.testing.assert_allclose(np.asarray(sh.f), np.asarray(ref.f), atol=1e-7)
+    # the disturbance must have crossed the shard corner diagonally (the MRT
+    # collision redistributes it, so just require strictly +y and +x motion
+    # past the 2x2 corner point)
+    d = np.asarray(ref.f[5]) - np.asarray(init_state(ny, nx).f[5])
+    peak = np.unravel_index(np.abs(d).argmax(), d.shape)
+    assert peak[0] > cy and peak[1] > cx, peak
+    assert np.abs(d[cy + 1 :, cx + 1 :]).max() > 1e-4  # energy crossed the corner
