@@ -81,69 +81,87 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _pick_bands(h: int, wp: int):
-    """(BH_fast, BH_full): row-band heights under the 16MB VMEM budget.
+def _pick_tiles(h: int, w: int):
+    """(BH_fast, BH_full, BW, PX): tile geometry under the 16MB VMEM budget.
 
-    Per band row the fast step holds ~32 f32 planes (9 halo input, 9 output,
-    2x2 blocked damp/mask, ~12 Mosaic stack temporaries -- measured on v5e)
-    plus the 2*PY*9 halo rows; the full step adds ~12 (rho/u/f_post blocks).
-    The full band is half the fast band so one padded buffer
-    (Hp = ceil(H/BH)*BH) serves both grids. Both bands must keep rows H-1
-    and H-2 together (top-BC locality).
+    Narrow grids use one full-width column tile (BW = Wp, PX = 0; x-halo via
+    lane rolls whose wrap-around only touches the global ring). Wide grids
+    would be forced into very short bands -- the 2*PY row-halo re-read then
+    dominates -- so they split into BW=1024 column tiles with a real PX=128
+    x-halo (the lane-dim analogue of the row alignment rule).
+
+    Per tile row the fast step holds ~32 f32 planes (halo input, output,
+    2x2 blocked damp/mask, ~12 Mosaic stack temporaries -- measured on v5e);
+    the full step adds ~12 (rho/u/f_post blocks) and uses half the band so
+    one padded buffer (Hp = ceil(H/BH)*BH) serves both grids. Bands must keep
+    rows H-1 and H-2 together (top-BC locality); column tiles must keep
+    cols W-1 and W-2 together (right-BC locality).
     """
     budget = 12 * 1024 * 1024 // 4  # leave ~4MB headroom of the 16MB core
+    wp128 = _round_up(w, LANE)
+    # Full-width row bands measured FASTER than column tiles even at 4096^2
+    # (2425 vs 2121 MLUPS): per-program overhead beats the halo re-read cost
+    # on this hardware. Column tiles (bw < wp, px = 128) remain available via
+    # the run_chunk_pallas(tiles=...) override and are parity-tested.
+    bw, px = wp128, 0
     bh = 256
-    while bh > 16 and (32 * bh + 2 * PY * 9) * wp > budget:
+    # floats per tile: 9*(bh+2PY)*(bw+2PX) halo input + ~23*bh*bw rest
+    while bh > 16 and 9 * (bh + 2 * PY) * (bw + 2 * px) + 23 * bh * bw > budget:
         bh -= 16
     while bh > 16 and (h % bh == 1 or h % (bh // 2) == 1):
         bh -= 16
-    return max(16, bh), max(8, bh // 2)
+    return max(16, bh), max(8, bh // 2), bw, px
 
 
-def _stream_band(scratch_in, BH: int):
-    """Pull streaming for one band: y via halo slices, x via lane rolls.
+def _stream_band(scratch_in, BH: int, BW: int, PX: int):
+    """Pull streaming for one tile: y via halo-row slices; x via halo-column
+    slices when a real x-halo exists (PX > 0), else via lane rolls whose
+    wrap-around only corrupts the global ring columns 0 / W-1.
 
-    scratch_in: [9, BH + 2*PY, Wp] with the band's cells at rows [PY, PY+BH).
-    X wrap-around only corrupts the global ring columns 0 / W-1.
+    scratch_in: [9, BH + 2*PY, BW + 2*PX], tile cells at (PY, PX).
     """
-    wp = scratch_in.shape[-1]
     fs = []
     for k in range(9):
         ey, ex = int(E[k, 1]), int(E[k, 0])
-        plane = scratch_in[k, PY - ey : PY - ey + BH, :]
-        if ex:
-            # pltpu.roll requires a non-negative shift; -1 == wp - 1 (circular)
-            plane = pltpu.roll(plane, shift=ex % wp, axis=1)
+        if PX:
+            plane = scratch_in[
+                k, PY - ey : PY - ey + BH, PX - ex : PX - ex + BW
+            ]
+        else:
+            plane = scratch_in[k, PY - ey : PY - ey + BH, :]
+            if ex:
+                # pltpu.roll needs non-negative shifts; -1 == BW - 1 (circular)
+                plane = pltpu.roll(plane, shift=ex % BW, axis=1)
         fs.append(plane)
     return jnp.stack(fs)
 
 
-def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, *, H, W_, BH, bc_type):
-    """In-band boundary conditions in apply_bc's sequential order
+def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, j, *, H, W_, BH, BW, bc_type):
+    """In-tile boundary conditions in apply_bc's sequential order
     (left/right columns, then top/bottom rows including corners).
 
-    Every band holds the full domain width, so the left/right edges exist in
-    each band; the top/bottom rows live in specific bands (program-id gated).
+    The left/right edges live in the first/last column tiles and the
+    top/bottom rows in the first/last row bands; every BC is gated to its
+    owning tiles with lax.cond so interior tiles skip the math.
     """
     ramp = scal_ref[0, _S_RAMP]
     rho_in = scal_ref[0, _S_RHOIN]
     rho_out = scal_ref[0, _S_RHOOUT]
 
-    Wp = f_new.shape[-1]
     # Mosaic cannot lower functional .at[].set (scatter) nor strip<->plane
-    # reshapes, so each edge's BC is computed FULL-WIDTH -- the neighbor field
+    # reshapes, so each edge's BC is computed tile-wide -- the neighbor field
     # is the whole plane rolled by one lane/sublane -- and merged with a
     # (row, col)-masked jnp.where built from 2-D iotas. Wrap-around from the
     # rolls only reaches masked-off cells.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BH, Wp), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (BH, Wp), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
     rows_g = i * BH + row_ids
-    inner = (rows_g >= 1) & (rows_g <= H - 2)  # [BH, Wp]
+    inner = (rows_g >= 1) & (rows_g <= H - 2)  # [BH, BW]
 
     def roll_x(shift):
         # value at (y, x + shift_src): pltpu.roll needs non-negative shifts
         def r(a):
-            return pltpu.roll(a, shift % Wp, axis=a.ndim - 1)
+            return pltpu.roll(a, shift % BW, axis=a.ndim - 1)
 
         return r
 
@@ -153,36 +171,52 @@ def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, *, H, W_, BH, bc_type):
 
         return r
 
-    # Left/right BCs: computed full-width (the neighbor field is the plane
-    # rolled one lane) and merged with a column-masked jnp.where -- narrower
-    # slab variants crash the Mosaic compiler. jnp.where, NOT an arithmetic
-    # blend: unselected lanes may hold NaN from uninitialized pad-row halos,
-    # and 0 * NaN = NaN.
-    nb = roll_x(-1)
-    vals = bc_left_values(
-        nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[0], rho_in
-    )
-    if vals is not None:
-        fb, rho_b, ux_b, uy_b = vals
-        m = (col_ids == 0) & inner
-        f_new = jnp.where(m[None], fb, f_new)
-        rho = jnp.where(m, rho_b, rho)
-        ux = jnp.where(m, ux_b, ux)
-        uy = jnp.where(m, uy_b, uy)
+    # jnp.where merges, NOT arithmetic blends: unselected lanes may hold NaN
+    # from uninitialized pad halos, and 0 * NaN = NaN.
+    # left edge (global x = 0): lives in column tile j == 0, local col 0
+    if bc_type[0] in (BC_INLET, BC_FREE_SLIP):
 
-    # right edge (global x = W-1): neighbor is x-1 -> roll right by one lane
-    bcv2 = jnp.stack([scal_ref[0, _S_BCV + 4], scal_ref[0, _S_BCV + 5]])
-    nb = roll_x(1)
-    vals = bc_right_values(
-        nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[2], rho_out, bcv2
-    )
-    if vals is not None:
-        fb, rho_b, ux_b, uy_b = vals
-        m = (col_ids == W_ - 1) & inner
-        f_new = jnp.where(m[None], fb, f_new)
-        rho = jnp.where(m, rho_b, rho)
-        ux = jnp.where(m, ux_b, ux)
-        uy = jnp.where(m, uy_b, uy)
+        def _left(f_new=f_new, rho=rho, ux=ux, uy=uy):
+            nb = roll_x(-1)
+            fb, rho_b, ux_b, uy_b = bc_left_values(
+                nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[0], rho_in
+            )
+            m = (col_ids == 0) & inner
+            return (
+                jnp.where(m[None], fb, f_new),
+                jnp.where(m, rho_b, rho),
+                jnp.where(m, ux_b, ux),
+                jnp.where(m, uy_b, uy),
+            )
+
+        def _no(f_new=f_new, rho=rho, ux=ux, uy=uy):
+            return f_new, rho, ux, uy
+
+        f_new, rho, ux, uy = jax.lax.cond(j == 0, _left, _no)
+
+    # right edge (global x = W-1): column tile j_r, local col c_r (its inward
+    # neighbor c_r - 1 is in the same tile by _pick_tiles)
+    j_r, c_r = divmod(W_ - 1, BW)
+    if bc_type[2] in (BC_OUTLET, BC_INLET, BC_FREE_SLIP):
+        bcv2 = jnp.stack([scal_ref[0, _S_BCV + 4], scal_ref[0, _S_BCV + 5]])
+
+        def _right(f_new=f_new, rho=rho, ux=ux, uy=uy):
+            nb = roll_x(1)
+            fb, rho_b, ux_b, uy_b = bc_right_values(
+                nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[2], rho_out, bcv2
+            )
+            m = (col_ids == c_r) & inner
+            return (
+                jnp.where(m[None], fb, f_new),
+                jnp.where(m, rho_b, rho),
+                jnp.where(m, ux_b, ux),
+                jnp.where(m, uy_b, uy),
+            )
+
+        def _no2(f_new=f_new, rho=rho, ux=ux, uy=uy):
+            return f_new, rho, ux, uy
+
+        f_new, rho, ux, uy = jax.lax.cond(j == j_r, _right, _no2)
 
     # top row (global y = H-1) and bottom row (y = 0): band-local static rows
     # gated on the owning band's program id via lax.cond, so interior bands
@@ -227,31 +261,37 @@ def _step_kernel(
     rho_ref,  # VMEM (BH, Wp) or None (fast)
     u_ref,  # VMEM (2, BH, Wp) or None (fast)
     f_post_ref,  # VMEM (9, BH, Wp) or None (fast)
-    scratch_in,  # VMEM (9, BH + 2*PY, Wp)
-    scratch_out,  # VMEM (9, BH, Wp)
+    scratch_in,  # VMEM (9, BH + 2*PY, BW + 2*PX)
+    scratch_out,  # VMEM (9, BH, BW)
     sem_in,
     sem_out,
     *,
     H: int,
     W_: int,
     BH: int,
+    BW: int,
+    PX: int,
     use_les: bool,
     bc_type,
 ):
-    """Each program owns one row band: DMA the halo window in, compute the
-    full update, DMA the band out. (A software-pipelined two-slot variant was
-    measured no faster -- the step is VPU-bound and the DMA engines already
-    overlap -- so the simple form is kept.)
+    """Each program owns one (BH, BW) tile: DMA the halo window in, compute
+    the full update, DMA the tile out. (A software-pipelined two-slot variant
+    was measured no faster -- the DMA engines already overlap -- so the
+    simple form is kept.)
     """
     i = pl.program_id(0)
+    j = pl.program_id(1)
     y0 = i * BH
+    x0 = j * BW
     load = pltpu.make_async_copy(
-        fp_hbm.at[:, pl.ds(y0, BH + 2 * PY), :], scratch_in, sem_in
+        fp_hbm.at[:, pl.ds(y0, BH + 2 * PY), pl.ds(x0, BW + 2 * PX)],
+        scratch_in,
+        sem_in,
     )
     load.start()
     load.wait()
 
-    fs = _stream_band(scratch_in, BH)
+    fs = _stream_band(scratch_in, BH, BW, PX)
     f_post, rho, ux, uy = mrt_collide_arrays(
         fs, damp_ref[:], scal_ref[0, _S_TAU0], scal_ref[0, _S_CSF],
         scal_ref[0, _S_SG], use_les,
@@ -260,7 +300,8 @@ def _step_kernel(
         f_post_ref[:] = f_post
 
     f_new, rho, ux, uy = _apply_bc_band(
-        f_post, rho, ux, uy, scal_ref, i, H=H, W_=W_, BH=BH, bc_type=bc_type
+        f_post, rho, ux, uy, scal_ref, i, j,
+        H=H, W_=W_, BH=BH, BW=BW, bc_type=bc_type,
     )
 
     # obstacle equilibrium overwrite, after the BCs exactly like the
@@ -275,7 +316,9 @@ def _step_kernel(
         u_ref[1] = jnp.where(solid, 0.0, uy)
 
     store = pltpu.make_async_copy(
-        scratch_out, fp_new_hbm.at[:, pl.ds(y0 + PY, BH), :], sem_out
+        scratch_out,
+        fp_new_hbm.at[:, pl.ds(y0 + PY, BH), pl.ds(x0 + PX, BW)],
+        sem_out,
     )
     store.start()
     store.wait()
@@ -285,10 +328,10 @@ def _step_kernel(
     jax.jit, static_argnames=("dims", "use_les", "bc_type", "full", "interpret")
 )
 def _pallas_step(fp, damping_p, mask_p, scalars, dims, use_les, bc_type, full, interpret):
-    """One fused lattice update. dims = (H, W, Hp, Wp, BH)."""
-    H, W_, Hp, Wp, BH = dims
+    """One fused lattice update. dims = (H, W, Hp, Wp, BH, BW, PX)."""
+    H, W_, Hp, Wp, BH, BW, PX = dims
     dtype = fp.dtype
-    grid = (Hp // BH,)
+    grid = (Hp // BH, Wp // BW)
 
     out_shape = [jax.ShapeDtypeStruct(fp.shape, dtype)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
@@ -299,19 +342,24 @@ def _pallas_step(fp, damping_p, mask_p, scalars, dims, use_les, bc_type, full, i
             jax.ShapeDtypeStruct((9, Hp, Wp), dtype),
         ]
         out_specs += [
-            pl.BlockSpec((BH, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BH, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, BH, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (9, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+            ),
         ]
         kernel = functools.partial(
-            _step_kernel, H=H, W_=W_, BH=BH, use_les=use_les, bc_type=bc_type
+            _step_kernel, H=H, W_=W_, BH=BH, BW=BW, PX=PX,
+            use_les=use_les, bc_type=bc_type,
         )
     else:
 
         def kernel(scal, fh, dmp, msk, fn, s_in, s_out, sin, sout):
             _step_kernel(
                 scal, fh, dmp, msk, fn, None, None, None, s_in, s_out, sin, sout,
-                H=H, W_=W_, BH=BH, use_les=use_les, bc_type=bc_type,
+                H=H, W_=W_, BH=BH, BW=BW, PX=PX, use_les=use_les, bc_type=bc_type,
             )
 
     outs = pl.pallas_call(
@@ -320,14 +368,14 @@ def _pallas_step(fp, damping_p, mask_p, scalars, dims, use_les, bc_type, full, i
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((BH, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BH, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((9, BH + 2 * PY, Wp), dtype),
-            pltpu.VMEM((9, BH, Wp), dtype),
+            pltpu.VMEM((9, BH + 2 * PY, BW + 2 * PX), dtype),
+            pltpu.VMEM((9, BH, BW), dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -357,22 +405,29 @@ def _scalars(p: CaseParams, step, dtype):
     ).reshape(1, 14)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_steps", "interpret", "tiles"))
 def run_chunk_pallas(
-    state: LBMState, p: CaseParams, n_steps: int, interpret: bool = False
+    state: LBMState, p: CaseParams, n_steps: int, interpret: bool = False,
+    tiles=None,
 ):
-    """Advance n_steps with the fused kernel; same contract as run_chunk."""
+    """Advance n_steps with the fused kernel; same contract as run_chunk.
+
+    ``tiles`` optionally overrides the (BH_fast, BH_full, BW, PX) geometry
+    (used by tests to exercise the column-tiled path on small grids).
+    """
     if not supports(p):
         raise ValueError(f"bc_type {p.bc_type} unsupported by the fused kernel")
     _, H, W_ = state.f.shape
     dtype = state.f.dtype
-    Wp = _round_up(W_, LANE)
-    bh_fast, bh_full = _pick_bands(H, Wp)
+    bh_fast, bh_full, BW, PX = tiles or _pick_tiles(H, W_)
+    Wp = _round_up(W_, BW)
     Hp = _round_up(H, bh_fast)  # bh_full = bh_fast/2 divides Hp too
-    dims_fast = (H, W_, Hp, Wp, bh_fast)
-    dims_full = (H, W_, Hp, Wp, bh_full)
+    dims_fast = (H, W_, Hp, Wp, bh_fast, BW, PX)
+    dims_full = (H, W_, Hp, Wp, bh_full, BW, PX)
 
-    fp = jnp.pad(state.f, ((0, 0), (PY, PY + (Hp - H)), (0, Wp - W_)))
+    fp = jnp.pad(
+        state.f, ((0, 0), (PY, PY + (Hp - H)), (PX, PX + (Wp - W_)))
+    )
     damping_p = jnp.pad(p.damping, ((0, Hp - H), (0, Wp - W_)))
     mask_p = jnp.pad(p.mask, ((0, Hp - H), (0, Wp - W_)))
 
@@ -396,7 +451,7 @@ def run_chunk_pallas(
         fp, damping_p, mask_p, scal, dims_full, p.use_les, p.bc_type, True, interpret
     )
 
-    f = fp[:, PY : PY + H, :W_]
+    f = fp[:, PY : PY + H, PX : PX + W_]
     rho = rho_p[:H, :W_]
     u = u_p[:, :H, :W_]
     # f_post keeps its initial-equilibrium ring (the reference never writes

@@ -61,3 +61,38 @@ def test_pallas_single_step_no_les():
     got, _ = run_chunk_pallas(init_state(ny, nx), p, n_steps=1, interpret=True)
     np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f), atol=1e-6)
     np.testing.assert_allclose(np.asarray(got.f_post), np.asarray(ref.f_post), atol=1e-6)
+
+
+def test_pallas_column_tiled_matches_jnp():
+    """Force the column-tiled geometry (real x-halo, PX=128) on a small grid:
+    3x3 tiles exercise interior x-halo exchange between column tiles."""
+    nx, ny = 384, 96
+    cfg = cfg_grid(nx, ny)
+    mask = block_mask(ny, nx)
+    p = make_params(cfg, mask)
+    ref, ref_mon = run_chunk(init_state(ny, nx), p, 12)
+    got, got_mon = run_chunk_pallas(
+        init_state(ny, nx), p, n_steps=12, interpret=True,
+        tiles=(32, 16, 128, 128),
+    )
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.f_post), np.asarray(ref.f_post), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )
+
+
+def test_pallas_column_tiled_nonmultiple_width():
+    """Column tiles with W not a multiple of BW (garbage-column region)."""
+    nx, ny = 320, 64
+    cfg = cfg_grid(nx, ny)
+    p = make_params(cfg, block_mask(ny, nx))
+    ref, _ = run_chunk(init_state(ny, nx), p, 8)
+    got, _ = run_chunk_pallas(
+        init_state(ny, nx), p, n_steps=8, interpret=True,
+        tiles=(32, 16, 128, 128),  # Wp = 384 > W = 320
+    )
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f), atol=1e-6)
