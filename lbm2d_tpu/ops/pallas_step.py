@@ -136,17 +136,31 @@ def _stream_band(scratch_in, BH: int, BW: int, PX: int):
     return jnp.stack(fs)
 
 
-def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, j, *, H, W_, BH, BW, bc_type):
+def _apply_bc_band(
+    f_new, rho, ux, uy, scal_ref, i, j, *, Hg, Wg, HL, WL, BH, BW, bc_type,
+    offs=None,
+):
     """In-tile boundary conditions in apply_bc's sequential order
     (left/right columns, then top/bottom rows including corners).
 
     The left/right edges live in the first/last column tiles and the
     top/bottom rows in the first/last row bands; every BC is gated to its
     owning tiles with lax.cond so interior tiles skip the math.
+
+    Single-chip: HL == Hg, WL == Wg, offs None. Sharded (shard_map): the
+    kernel sees one device's (HL, WL) block of the (Hg, Wg) global lattice
+    and ``offs = (y_off, x_off)`` carries the block's global origin. Shard
+    ownership of a global edge is expressed ONLY inside the jnp.where masks
+    (global-coordinate comparisons); the lax.cond predicates stay pure
+    program-id tests, which Mosaic resolves per grid position -- a traced
+    (SMEM-dependent) predicate makes it evaluate both branches everywhere,
+    measured +72us/step at 1024^2. Non-owner shards thus pay the BC math on
+    their edge bands but the masks select nothing.
     """
     ramp = scal_ref[0, _S_RAMP]
     rho_in = scal_ref[0, _S_RHOIN]
     rho_out = scal_ref[0, _S_RHOOUT]
+    y_off, x_off = offs if offs is not None else (0, 0)
 
     # Mosaic cannot lower functional .at[].set (scatter) nor strip<->plane
     # reshapes, so each edge's BC is computed tile-wide -- the neighbor field
@@ -155,8 +169,29 @@ def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, j, *, H, W_, BH, BW, bc_type
     # rolls only reaches masked-off cells.
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
-    rows_g = i * BH + row_ids
-    inner = (rows_g >= 1) & (rows_g <= H - 2)  # [BH, BW]
+    rows_g = y_off + i * BH + row_ids
+    inner = (rows_g >= 1) & (rows_g <= Hg - 2)  # [BH, BW]
+    # Edge-column / edge-row masks. Single-chip: constant iota comparisons
+    # (Mosaic folds them to constant vectors). Sharded: compare the constant
+    # iota against a traced SCALAR local index (global edge minus this
+    # tile's global origin) -- one cheap vector cmp, no global-coordinate
+    # planes (those cost ~5MB extra scoped VMEM). On non-owner shards the
+    # scalar falls outside [0, BH)/[0, BW) and the mask is all-false; a
+    # traced scalar can land on a garbage row/col of a non-owner shard only
+    # when the local block is smaller than the band, which writes BC values
+    # into never-read garbage rows (harmless).
+    # (lazy thunks: each mask materializes INSIDE its owning cond branch so
+    # the planes' live ranges don't stack up in scoped VMEM)
+    if offs is None:
+        m_left = lambda: col_ids == 0
+        m_right = lambda: col_ids == divmod(WL - 1, BW)[1]
+        m_top = lambda: row_ids == (HL - 1) % BH
+        m_bot = lambda: row_ids == 0
+    else:
+        m_left = lambda: col_ids == -(x_off + j * BW)
+        m_right = lambda: col_ids == Wg - 1 - x_off - j * BW
+        m_top = lambda: row_ids == Hg - 1 - y_off - i * BH
+        m_bot = lambda: row_ids == -(y_off + i * BH)
 
     def roll_x(shift):
         # value at (y, x + shift_src): pltpu.roll needs non-negative shifts
@@ -181,7 +216,7 @@ def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, j, *, H, W_, BH, BW, bc_type
             fb, rho_b, ux_b, uy_b = bc_left_values(
                 nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[0], rho_in
             )
-            m = (col_ids == 0) & inner
+            m = m_left() & inner
             return (
                 jnp.where(m[None], fb, f_new),
                 jnp.where(m, rho_b, rho),
@@ -196,7 +231,7 @@ def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, j, *, H, W_, BH, BW, bc_type
 
     # right edge (global x = W-1): column tile j_r, local col c_r (its inward
     # neighbor c_r - 1 is in the same tile by _pick_tiles)
-    j_r, c_r = divmod(W_ - 1, BW)
+    j_r, c_r = divmod(WL - 1, BW)
     if bc_type[2] in (BC_OUTLET, BC_INLET, BC_FREE_SLIP):
         bcv2 = jnp.stack([scal_ref[0, _S_BCV + 4], scal_ref[0, _S_BCV + 5]])
 
@@ -205,7 +240,7 @@ def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, j, *, H, W_, BH, BW, bc_type
             fb, rho_b, ux_b, uy_b = bc_right_values(
                 nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[2], rho_out, bcv2
             )
-            m = (col_ids == c_r) & inner
+            m = m_right() & inner
             return (
                 jnp.where(m[None], fb, f_new),
                 jnp.where(m, rho_b, rho),
@@ -222,21 +257,22 @@ def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, j, *, H, W_, BH, BW, bc_type
     # gated on the owning band's program id via lax.cond, so interior bands
     # skip the (full-width f_eq-heavy) BC math entirely. _pick_bands
     # guarantees the neighbor row lives in the same band.
-    i_top, r_top = divmod(H - 1, BH)
-    for side, band, row, shift, bcv_off in (
-        (1, i_top, r_top, 1, _S_BCV + 2),
-        (3, 0, 0, -1, _S_BCV + 6),
-    ):
+    i_top, r_top = divmod(HL - 1, BH)
+    for side, band, m_row, shift in (
+        (1, i_top, m_top, 1),
+        (3, 0, m_bot, -1),
+    ):  # m_row is a thunk; see above
+        bcv_off = _S_BCV + 2 if side == 1 else _S_BCV + 6
         if bc_type[side] not in (BC_INLET, BC_FREE_SLIP):
             continue
         bcv = jnp.stack([scal_ref[0, bcv_off], scal_ref[0, bcv_off + 1]])
 
-        def _with_bc(f_new=f_new, rho=rho, ux=ux, uy=uy, side=side, row=row, shift=shift, bcv=bcv):
+        def _with_bc(f_new=f_new, rho=rho, ux=ux, uy=uy, side=side, m_row=m_row, shift=shift, bcv=bcv):
             nb = roll_y(shift)
             fb, rho_b, ux_b, uy_b = bc_horizontal_values(
                 nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[side], bcv
             )
-            m = row_ids == row
+            m = m_row()
             return (
                 jnp.where(m[None], fb, f_new),
                 jnp.where(m, rho_b, rho),
@@ -254,6 +290,9 @@ def _apply_bc_band(f_new, rho, ux, uy, scal_ref, i, j, *, H, W_, BH, BW, bc_type
 
 def _step_kernel(
     scal_ref,  # SMEM (1, 14)
+    offs_ref,  # SMEM (1, 2) int32 global (y_off, x_off), or None (single-chip)
+    h_lo_ref,  # VMEM (9, 8, Wp) row 0 = low-side halo row, or None
+    h_hi_ref,  # VMEM (9, 8, Wp) row 0 = high-side halo row, or None
     fp_hbm,  # HBM [9, Hp + 2*PY, Wp]
     damp_ref,  # VMEM (BH, Wp) -- auto-pipelined blocked input
     mask_ref,  # VMEM (BH, Wp) -- auto-pipelined blocked input
@@ -266,8 +305,10 @@ def _step_kernel(
     sem_in,
     sem_out,
     *,
-    H: int,
-    W_: int,
+    Hg: int,
+    Wg: int,
+    HL: int,
+    WL: int,
     BH: int,
     BW: int,
     PX: int,
@@ -291,6 +332,26 @@ def _step_kernel(
     load.start()
     load.wait()
 
+    if h_lo_ref is not None:
+        # Sharded row-decomposed mode: the 1-row neighbor halos arrive as
+        # separate small inputs instead of being DUS-merged into the big HBM
+        # buffer on the host side (a DUS there forces a full-buffer copy per
+        # step, measured ~80us at 1024^2). The halo rows sit at padded rows
+        # PY-1 (low) and PY+HL (high); patch them into this band's loaded
+        # window wherever they fall -- windows overlap by 2*PY rows, so a
+        # halo row can appear in up to two bands' windows. All row indices
+        # are static; pl.when gates each store to the owning band.
+        n_bands = (fp_hbm.shape[1] - 2 * PY) // BH
+        for tgt, ref_ in ((PY - 1, h_lo_ref), (PY + HL, h_hi_ref)):
+            lo_i = max(0, -(-(tgt - BH - 2 * PY + 1) // BH))
+            hi_i = min(tgt // BH, n_bands - 1)
+            for ib in range(lo_i, hi_i + 1):
+                r = tgt - ib * BH
+
+                @pl.when(i == ib)
+                def _(r=r, ref_=ref_):
+                    scratch_in[:, r, :] = ref_[:, 0, :]
+
     fs = _stream_band(scratch_in, BH, BW, PX)
     f_post, rho, ux, uy = mrt_collide_arrays(
         fs, damp_ref[:], scal_ref[0, _S_TAU0], scal_ref[0, _S_CSF],
@@ -299,9 +360,10 @@ def _step_kernel(
     if f_post_ref is not None:
         f_post_ref[:] = f_post
 
+    offs = None if offs_ref is None else (offs_ref[0, 0], offs_ref[0, 1])
     f_new, rho, ux, uy = _apply_bc_band(
         f_post, rho, ux, uy, scal_ref, i, j,
-        H=H, W_=W_, BH=BH, BW=BW, bc_type=bc_type,
+        Hg=Hg, Wg=Wg, HL=HL, WL=WL, BH=BH, BW=BW, bc_type=bc_type, offs=offs,
     )
 
     # obstacle equilibrium overwrite, after the BCs exactly like the
@@ -327,14 +389,27 @@ def _step_kernel(
 @functools.partial(
     jax.jit, static_argnames=("dims", "use_les", "bc_type", "full", "interpret")
 )
-def _pallas_step(fp, damping_p, mask_p, scalars, dims, use_les, bc_type, full, interpret):
-    """One fused lattice update. dims = (H, W, Hp, Wp, BH, BW, PX)."""
-    H, W_, Hp, Wp, BH, BW, PX = dims
+def _pallas_step(
+    fp, damping_p, mask_p, scalars, offs, h_lo, h_hi, dims, use_les, bc_type,
+    full, interpret,
+):
+    """One fused lattice update. dims = (Hg, Wg, HL, WL, Hp, Wp, BH, BW, PX);
+    single-chip passes HL == Hg, WL == Wg and offs None; the sharded path
+    passes this device's block dims + its global (y_off, x_off) as offs.
+    h_lo/h_hi optionally carry 1-row neighbor halos ([9, 8, Wp], row 0) that
+    the kernel patches into its load window (rows-only decomposition)."""
+    Hg, Wg, HL, WL, Hp, Wp, BH, BW, PX = dims
     dtype = fp.dtype
     grid = (Hp // BH, Wp // BW)
+    sharded = offs is not None
+    halo = h_lo is not None
 
     out_shape = [jax.ShapeDtypeStruct(fp.shape, dtype)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    dims_kw = dict(
+        Hg=Hg, Wg=Wg, HL=HL, WL=WL, BH=BH, BW=BW, PX=PX,
+        use_les=use_les, bc_type=bc_type,
+    )
     if full:
         out_shape += [
             jax.ShapeDtypeStruct((Hp, Wp), dtype),
@@ -350,27 +425,45 @@ def _pallas_step(fp, damping_p, mask_p, scalars, dims, use_les, bc_type, full, i
                 (9, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
             ),
         ]
-        kernel = functools.partial(
-            _step_kernel, H=H, W_=W_, BH=BH, BW=BW, PX=PX,
-            use_les=use_les, bc_type=bc_type,
-        )
-    else:
 
-        def kernel(scal, fh, dmp, msk, fn, s_in, s_out, sin, sout):
-            _step_kernel(
-                scal, fh, dmp, msk, fn, None, None, None, s_in, s_out, sin, sout,
-                H=H, W_=W_, BH=BH, BW=BW, PX=PX, use_les=use_les, bc_type=bc_type,
-            )
+    def kernel(*refs):
+        it = iter(refs)
+        scal = next(it)
+        offs_r = next(it) if sharded else None
+        hlo = next(it) if halo else None
+        hhi = next(it) if halo else None
+        fh, dmp, msk, fn = next(it), next(it), next(it), next(it)
+        rho = next(it) if full else None
+        u = next(it) if full else None
+        fpost = next(it) if full else None
+        s_in, s_out, sin, sout = next(it), next(it), next(it), next(it)
+        _step_kernel(
+            scal, offs_r, hlo, hhi, fh, dmp, msk, fn, rho, u, fpost,
+            s_in, s_out, sin, sout, **dims_kw,
+        )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [scalars]
+    if sharded:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(offs)
+    if halo:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        args += [h_lo, h_hi]
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    ]
+    args += [fp, damping_p, mask_p]
 
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -380,7 +473,7 @@ def _pallas_step(fp, damping_p, mask_p, scalars, dims, use_les, bc_type, full, i
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(scalars, fp, damping_p, mask_p)
+    )(*args)
     return outs
 
 
@@ -422,8 +515,8 @@ def run_chunk_pallas(
     bh_fast, bh_full, BW, PX = tiles or _pick_tiles(H, W_)
     Wp = _round_up(W_, BW)
     Hp = _round_up(H, bh_fast)  # bh_full = bh_fast/2 divides Hp too
-    dims_fast = (H, W_, Hp, Wp, bh_fast, BW, PX)
-    dims_full = (H, W_, Hp, Wp, bh_full, BW, PX)
+    dims_fast = (H, W_, H, W_, Hp, Wp, bh_fast, BW, PX)
+    dims_full = (H, W_, H, W_, Hp, Wp, bh_full, BW, PX)
 
     fp = jnp.pad(
         state.f, ((0, 0), (PY, PY + (Hp - H)), (PX, PX + (Wp - W_)))
@@ -436,8 +529,8 @@ def run_chunk_pallas(
         step = step + 1
         scal = _scalars(p, step, dtype)
         (fp_new,) = _pallas_step(
-            fp, damping_p, mask_p, scal, dims_fast, p.use_les, p.bc_type,
-            False, interpret,
+            fp, damping_p, mask_p, scal, None, None, None, dims_fast,
+            p.use_les, p.bc_type, False, interpret,
         )
         return (fp_new, step), None
 
@@ -448,7 +541,8 @@ def run_chunk_pallas(
     step = step + 1
     scal = _scalars(p, step, dtype)
     fp, rho_p, u_p, fpost_p = _pallas_step(
-        fp, damping_p, mask_p, scal, dims_full, p.use_les, p.bc_type, True, interpret
+        fp, damping_p, mask_p, scal, None, None, None, dims_full,
+        p.use_les, p.bc_type, True, interpret,
     )
 
     f = fp[:, PY : PY + H, PX : PX + W_]

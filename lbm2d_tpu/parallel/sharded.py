@@ -182,6 +182,219 @@ def make_local_step(mesh, ny: int, nx: int):
     return local_step
 
 
+# ---------------------------------------------------------------------------
+# Fused-Pallas sharded chunk: per-shard stencil kernel + ppermute halos
+# ---------------------------------------------------------------------------
+
+
+def _halo_update_padded(fp: jnp.ndarray, hl: int, wl: int, px: int, mesh):
+    """Refresh the 1-cell halo ring of a kernel-padded local block.
+
+    ``fp`` is the Pallas row/lane-padded layout [9, Hp + 2*PY, wl + 2*px]
+    with real cells at (PY, px). Two phases like exchange_halo_f: x edges
+    first, then y edges carrying the just-attached x halos so corner cells
+    (diagonal D2Q9 velocities) arrive in two hops. Wrap-around halos land
+    only on global-boundary shards whose ring the in-kernel BCs rewrite.
+    """
+    from ..ops.pallas_step import PY
+
+    nxs = mesh.shape[AXIS_X]
+    nys = mesh.shape[AXIS_Y]
+    rows = slice(PY, PY + hl)
+
+    if px:
+        left_edge = fp[:, rows, px : px + 1]
+        right_edge = fp[:, rows, px + wl - 1 : px + wl]
+        if nxs == 1:
+            from_left, from_right = right_edge, left_edge
+        else:
+            fwd = [(i, (i + 1) % nxs) for i in range(nxs)]
+            bwd = [(i, (i - 1) % nxs) for i in range(nxs)]
+            from_left = lax.ppermute(right_edge, AXIS_X, fwd)
+            from_right = lax.ppermute(left_edge, AXIS_X, bwd)
+        fp = fp.at[:, rows, px - 1 : px].set(from_left)
+        fp = fp.at[:, rows, px + wl : px + wl + 1].set(from_right)
+        cols = slice(px - 1, px + wl + 1)  # include x halos -> corners
+    else:
+        # px == 0: single shard column (dx == 1); x wrap is handled by the
+        # kernel's lane rolls + ring-rewriting BCs, exactly like single-chip.
+        # Exchange full-width rows (pad columns included -- harmless).
+        cols = slice(None)
+
+    bot_edge = fp[:, PY : PY + 1, cols]
+    top_edge = fp[:, PY + hl - 1 : PY + hl, cols]
+    if nys == 1:
+        from_below, from_above = top_edge, bot_edge
+    else:
+        fwd = [(i, (i + 1) % nys) for i in range(nys)]
+        bwd = [(i, (i - 1) % nys) for i in range(nys)]
+        from_below = lax.ppermute(top_edge, AXIS_Y, fwd)
+        from_above = lax.ppermute(bot_edge, AXIS_Y, bwd)
+    fp = fp.at[:, PY - 1 : PY, cols].set(from_below)
+    fp = fp.at[:, PY + hl : PY + hl + 1, cols].set(from_above)
+    return fp
+
+
+def _pick_shard_tiles(hl: int, wp: int, px: int):
+    """Band height for the per-shard fused kernel (BW = wp; px = 0 for a
+    row-only decomposition, 128 when x is sharded too).
+
+    The sharded kernel's shard-ownership masks are traced (global origin
+    from SMEM), which Mosaic cannot constant-fold -- measured ~60 live f32
+    planes per band row at 1024 lanes vs ~41 for the single-chip kernel --
+    so bands are shorter than single-chip (48 vs 80 at wp = 1024)."""
+    budget = 14 * 1024 * 1024 // 4  # floats; leave 2MB of the 16MB core
+    bh = 256
+    while bh > 16 and (60 * bh + 9 * 2 * 8 + 2 * 9 * 8) * (wp + 2 * px) > budget:
+        bh -= 16
+    while bh > 16 and (hl % bh == 1 or hl % (bh // 2) == 1):
+        bh -= 16
+    return max(16, bh), max(8, bh // 2), wp, px
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "mesh", "ny", "nx", "interpret", "tiles"),
+)
+def run_chunk_sharded_pallas(
+    state: LBMState, p: CaseParams, n_steps: int, mesh, ny: int, nx: int,
+    interpret: bool = False, tiles=None,
+):
+    """run_chunk_sharded with the fused Pallas stencil as the per-shard step.
+
+    Each shard holds its block in the kernel's padded layout and alternates
+    halo refresh (ppermute over ICI) with one fused-kernel lattice update;
+    boundary conditions run inside the kernel, gated by the shard's global
+    origin (ops/pallas_step._apply_bc_band offs). Bitwise-matches
+    run_chunk_sharded / run_chunk (tests/test_parallel.py).
+
+    Real-TPU alignment requires the local width to be a lane multiple
+    (wl % 128 == 0); interpret-mode tests may use smaller shards.
+    """
+    from ..ops.pallas_step import (
+        PY,
+        _pallas_step,
+        _round_up,
+        _scalars,
+        supports,
+    )
+
+    if not supports(p):
+        raise ValueError(f"bc_type {p.bc_type} unsupported by the fused kernel")
+    rys, rxs = mesh.shape[AXIS_Y], mesh.shape[AXIS_X]
+    if ny % rys or nx % rxs:
+        raise ValueError(f"grid {ny}x{nx} not divisible by mesh {rys}x{rxs}")
+    hl, wl = ny // rys, nx // rxs
+    # row-only decomposition (dx == 1) uses the single-chip PX = 0 geometry:
+    # no column halos, so the per-step exchange is just two row updates
+    wp = _round_up(wl, 128) if rxs == 1 else wl
+    bh_fast, bh_full, BW, PXs = tiles or _pick_shard_tiles(
+        hl, wp, 0 if rxs == 1 else 128
+    )
+    if not interpret and rxs > 1 and wl % 128:
+        raise ValueError(f"local width {wl} must be a multiple of 128 lanes")
+    Hp = _round_up(hl, bh_fast)
+    Wp = _round_up(wl, BW)
+    dims_fast = (ny, nx, hl, wl, Hp, Wp, bh_fast, BW, PXs)
+    dims_full = (ny, nx, hl, wl, Hp, Wp, bh_full, BW, PXs)
+    dtype = state.f.dtype
+
+    def local_chunk(state_l: LBMState, p_l: CaseParams) -> LBMState:
+        iy = lax.axis_index(AXIS_Y)
+        ix = lax.axis_index(AXIS_X)
+        offs = jnp.stack([iy * hl, ix * wl]).astype(jnp.int32).reshape(1, 2)
+
+        fp = jnp.pad(
+            state_l.f, ((0, 0), (PY, PY + Hp - hl), (PXs, PXs + Wp - wl))
+        )
+        damping_b = jnp.pad(p_l.damping, ((0, Hp - hl), (0, Wp - wl)))
+        mask_b = jnp.pad(p_l.mask, ((0, Hp - hl), (0, Wp - wl)))
+
+        def halo_rows(fp):
+            """1-row neighbor halos as [9, 8, Wp] kernel inputs (row 0).
+            Avoids DUS into the big padded buffer, which forces a
+            full-buffer copy every step (~80us at 1024^2)."""
+            top = fp[:, PY + hl - 1 : PY + hl, :]
+            bot = fp[:, PY : PY + 1, :]
+            if rys == 1:
+                from_below, from_above = top, bot
+            else:
+                fwd = [(k, (k + 1) % rys) for k in range(rys)]
+                bwd = [(k, (k - 1) % rys) for k in range(rys)]
+                from_below = lax.ppermute(top, AXIS_Y, fwd)
+                from_above = lax.ppermute(bot, AXIS_Y, bwd)
+            pad8 = ((0, 0), (0, 7), (0, 0))
+            return jnp.pad(from_below, pad8), jnp.pad(from_above, pad8)
+
+        def advance(fp, h_lo, h_hi, step, dims, full):
+            scal = _scalars(p_l, step, dtype)
+            return _pallas_step(
+                fp, damping_b, mask_b, scal, offs, h_lo, h_hi, dims,
+                p_l.use_les, p_l.bc_type, full, interpret,
+            )
+
+        if PXs == 0:
+            # halos ride the scan carry, extracted from each step's OUTPUT:
+            # this leaves fp with a single consumer (the kernel), so XLA's
+            # while-carry copy overlaps the kernel instead of serializing
+            # before it (measured: 4.1k -> 5.8k MLUPS at 1024^2)
+            def fast_body(carry, _):
+                fp, h_lo, h_hi, step = carry
+                step = step + 1
+                (fp_new,) = advance(fp, h_lo, h_hi, step, dims_fast, False)
+                h_lo2, h_hi2 = halo_rows(fp_new)
+                return (fp_new, h_lo2, h_hi2, step), None
+
+            carry = (fp, *halo_rows(fp), state_l.step)
+            if n_steps > 1:
+                carry, _ = lax.scan(fast_body, carry, None, length=n_steps - 1)
+            fp, h_lo, h_hi, step = carry
+            step = step + 1
+            fp, rho_p, u_p, fpost_p = advance(
+                fp, h_lo, h_hi, step, dims_full, True
+            )
+        else:
+
+            def fast_body(carry, _):
+                fp, step = carry
+                fp = _halo_update_padded(fp, hl, wl, PXs, mesh)
+                step = step + 1
+                (fp_new,) = advance(fp, None, None, step, dims_fast, False)
+                return (fp_new, step), None
+
+            carry = (fp, state_l.step)
+            if n_steps > 1:
+                carry, _ = lax.scan(fast_body, carry, None, length=n_steps - 1)
+            fp, step = carry
+            fp = _halo_update_padded(fp, hl, wl, PXs, mesh)
+            step = step + 1
+            fp, rho_p, u_p, fpost_p = advance(fp, None, None, step, dims_full, True)
+
+        f = fp[:, PY : PY + hl, PXs : PXs + wl]
+        rho = rho_p[:hl, :wl]
+        u = u_p[:, :hl, :wl]
+        # f_post keeps the initial-equilibrium GLOBAL ring (the reference
+        # never writes f_new there); interior from the final collision
+        gy = iy * hl + jnp.arange(hl)
+        gx = ix * wl + jnp.arange(wl)
+        interior = ((gy >= 1) & (gy <= ny - 2))[:, None] & (
+            (gx >= 1) & (gx <= nx - 2)
+        )[None, :]
+        f_post = jnp.where(interior[None], fpost_p[:, :hl, :wl], state_l.f_post)
+        return LBMState(f=f, f_post=f_post, rho=rho, u=u, step=step)
+
+    s_specs, p_specs = state_specs(), params_specs(p)
+    state = shard_map(
+        local_chunk, mesh=mesh, in_specs=(s_specs, p_specs), out_specs=s_specs,
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )(state, p)
+    monitors = {
+        "force": force_on_obstacle(state.f_post, p.mask),
+        "max_v": max_velocity(state.u),
+    }
+    return state, monitors
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps", "mesh", "ny", "nx"))
 def run_chunk_sharded(state: LBMState, p: CaseParams, n_steps: int, mesh, ny: int, nx: int):
     """Advance n_steps on the mesh; monitors computed globally under GSPMD."""
