@@ -113,6 +113,18 @@ def _pick_tiles(h: int, w: int):
     return max(16, bh), max(8, bh // 2), bw, px
 
 
+def _pick_split_bh(h: int, w: int) -> int:
+    """Fast-step band height for split-BC mode: without the in-kernel BC
+    branches the kernel holds ~19 live f32 planes per band row (measured on
+    v5e; BH=128 fastest at 1024^2, BH=256 OOMs at ~19M), so bands can be
+    much taller than _pick_tiles' 80."""
+    budget = 13 * 1024 * 1024 // 4  # floats (13MB of the 16MB core)
+    bh = min(128, _round_up(h, 16))
+    while bh > 16 and (19 * bh + 4 * PY * 9) * w > budget:
+        bh -= 16
+    return max(16, bh)
+
+
 def _stream_band(scratch_in, BH: int, BW: int, PX: int):
     """Pull streaming for one tile: y via halo-row slices; x via halo-column
     slices when a real x-halo exists (PX > 0), else via lane rolls whose
@@ -300,8 +312,12 @@ def _step_kernel(
     rho_ref,  # VMEM (BH, Wp) or None (fast)
     u_ref,  # VMEM (2, BH, Wp) or None (fast)
     f_post_ref,  # VMEM (9, BH, Wp) or None (fast)
+    ec_hbm,  # HBM (3, Hp, 256) edge-col macros out (split-BC), or None
+    er_hbm,  # HBM (3, 16, Wp) edge-row macros out (split-BC), or None
     scratch_in,  # VMEM (9, BH + 2*PY, BW + 2*PX)
     scratch_out,  # VMEM (9, BH, BW)
+    s_ec,  # VMEM (3, BH, 128) staging for ec windows, or None
+    s_er,  # VMEM (3, 8, BW) staging for er windows, or None
     sem_in,
     sem_out,
     *,
@@ -314,6 +330,7 @@ def _step_kernel(
     PX: int,
     use_les: bool,
     bc_type,
+    apply_bc: bool = True,
 ):
     """Each program owns one (BH, BW) tile: DMA the halo window in, compute
     the full update, DMA the tile out. (A software-pipelined two-slot variant
@@ -360,11 +377,55 @@ def _step_kernel(
     if f_post_ref is not None:
         f_post_ref[:] = f_post
 
-    offs = None if offs_ref is None else (offs_ref[0, 0], offs_ref[0, 1])
-    f_new, rho, ux, uy = _apply_bc_band(
-        f_post, rho, ux, uy, scal_ref, i, j,
-        Hg=Hg, Wg=Wg, HL=HL, WL=WL, BH=BH, BW=BW, bc_type=bc_type, offs=offs,
-    )
+    if apply_bc:
+        offs = None if offs_ref is None else (offs_ref[0, 0], offs_ref[0, 1])
+        f_new, rho, ux, uy = _apply_bc_band(
+            f_post, rho, ux, uy, scal_ref, i, j,
+            Hg=Hg, Wg=Wg, HL=HL, WL=WL, BH=BH, BW=BW, bc_type=bc_type,
+            offs=offs,
+        )
+    else:
+        # split-BC mode: the ring is rewritten by the edge kernel afterwards;
+        # export THIS kernel's collide macros on the edge strips so the edge
+        # kernel threads the exact same rho/ux/uy the in-kernel BCs would
+        # (recomputing them from f_post differs in last ulps and flips
+        # data-dependent BC branches like the outlet backflow guard)
+        f_new = f_post
+        if ec_hbm is not None:
+            mac = jnp.stack([rho, ux, uy])
+            y0g = i * BH
+            s_ec[:] = mac[:, :, 0:128]
+            cl = pltpu.make_async_copy(
+                s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(0, 128)], sem_out
+            )
+            cl.start()
+            cl.wait()
+            s_ec[:] = mac[:, :, BW - 128 : BW]
+            cr = pltpu.make_async_copy(
+                s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(128, 128)], sem_out
+            )
+            cr.start()
+            cr.wait()
+
+            @pl.when(i == 0)
+            def _():
+                s_er[:] = mac[:, 0:8, :]
+                c = pltpu.make_async_copy(
+                    s_er, er_hbm.at[:, pl.ds(0, 8), pl.ds(0, BW)], sem_out
+                )
+                c.start()
+                c.wait()
+
+            i_t, r_t = divmod(Hg - 8, BH)
+
+            @pl.when(i == i_t)
+            def _():
+                s_er[:] = mac[:, r_t : r_t + 8, :]
+                c = pltpu.make_async_copy(
+                    s_er, er_hbm.at[:, pl.ds(8, 8), pl.ds(0, BW)], sem_out
+                )
+                c.start()
+                c.wait()
 
     # obstacle equilibrium overwrite, after the BCs exactly like the
     # reference (apply_bc tail, LBM2D_MRT_LES.py:452-455)
@@ -387,11 +448,12 @@ def _step_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "use_les", "bc_type", "full", "interpret")
+    jax.jit,
+    static_argnames=("dims", "use_les", "bc_type", "full", "interpret", "apply_bc"),
 )
 def _pallas_step(
     fp, damping_p, mask_p, scalars, offs, h_lo, h_hi, dims, use_les, bc_type,
-    full, interpret,
+    full, interpret, apply_bc=True,
 ):
     """One fused lattice update. dims = (Hg, Wg, HL, WL, Hp, Wp, BH, BW, PX);
     single-chip passes HL == Hg, WL == Wg and offs None; the sharded path
@@ -403,12 +465,22 @@ def _pallas_step(
     grid = (Hp // BH, Wp // BW)
     sharded = offs is not None
     halo = h_lo is not None
+    export = not apply_bc and not sharded  # split-BC edge-macro export
 
     out_shape = [jax.ShapeDtypeStruct(fp.shape, dtype)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if export:
+        out_shape += [
+            jax.ShapeDtypeStruct((3, Hp, 256), dtype),
+            jax.ShapeDtypeStruct((3, 16, Wp), dtype),
+        ]
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ]
     dims_kw = dict(
         Hg=Hg, Wg=Wg, HL=HL, WL=WL, BH=BH, BW=BW, PX=PX,
-        use_les=use_les, bc_type=bc_type,
+        use_les=use_les, bc_type=bc_type, apply_bc=apply_bc,
     )
     if full:
         out_shape += [
@@ -433,13 +505,18 @@ def _pallas_step(
         hlo = next(it) if halo else None
         hhi = next(it) if halo else None
         fh, dmp, msk, fn = next(it), next(it), next(it), next(it)
+        ec = next(it) if export else None
+        er = next(it) if export else None
         rho = next(it) if full else None
         u = next(it) if full else None
         fpost = next(it) if full else None
-        s_in, s_out, sin, sout = next(it), next(it), next(it), next(it)
+        s_in, s_out = next(it), next(it)
+        s_ec = next(it) if export else None
+        s_er = next(it) if export else None
+        sin, sout = next(it), next(it)
         _step_kernel(
-            scal, offs_r, hlo, hhi, fh, dmp, msk, fn, rho, u, fpost,
-            s_in, s_out, sin, sout, **dims_kw,
+            scal, offs_r, hlo, hhi, fh, dmp, msk, fn, rho, u, fpost, ec, er,
+            s_in, s_out, s_ec, s_er, sin, sout, **dims_kw,
         )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -469,12 +546,279 @@ def _pallas_step(
         scratch_shapes=[
             pltpu.VMEM((9, BH + 2 * PY, BW + 2 * PX), dtype),
             pltpu.VMEM((9, BH, BW), dtype),
+        ]
+        + (
+            [pltpu.VMEM((3, BH, 128), dtype), pltpu.VMEM((3, 8, BW), dtype)]
+            if export
+            else []
+        )
+        + [
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(*args)
     return outs
+
+
+_EDGE_CH = 256  # edge-kernel column-strip chunk height (rows per program)
+
+
+def _edge_bc_kernel(
+    scal_ref,  # SMEM (1, 14)
+    fp_hbm,  # HBM [9, Hp + 2*PY, Wp] -- aliased with fp_out_hbm
+    mask_hbm,  # HBM [Hp, Wp]
+    ec_hbm,  # HBM (3, Hp, 256) collide rho/ux/uy on the edge column strips
+    er_in_hbm,  # HBM (3, 16, Wp) collide macros on rows 0..7 / H-8..H-1
+    fp_out_hbm,  # HBM, SAME buffer as fp_hbm (input_output_aliases)
+    er_hbm,  # HBM, SAME buffer as er_in_hbm (corner cells updated in place)
+    s_col,  # VMEM (9, CH, 128)
+    s_rows,  # VMEM (9, 8, Wp)
+    s_mc,  # VMEM (3, CH, 128) macro strip
+    s_mr,  # VMEM (3, 8, Wp) macro rows
+    m_col,  # VMEM (CH, 128)
+    m_rows,  # VMEM (8, Wp)
+    s_fix,  # VMEM (3, 8, 128) corner macro write-back staging
+    sem_a,
+    sem_b,
+    sem_c,
+    *,
+    H: int,
+    H8: int,
+    W_: int,
+    Wp: int,
+    CH: int,
+    nch: int,
+    bc_type,
+):
+    """Boundary-ring rewrite as a separate tiny kernel (split-BC mode).
+
+    The main kernel runs with apply_bc=False (its lane-roll wrap garbage and
+    pad-row garbage land on the ring) and exports its collide rho/ux/uy on
+    the edge strips; this kernel then rewrites the ring in the reference's
+    order (apply_bc, LBM2D_MRT_LES.py:422-455): left/right columns on inner
+    rows, then bottom/top rows INCLUDING corners, then the obstacle
+    equilibrium overwrite re-applied on every touched strip with the
+    BC-threaded rho (bitwise-identical to the in-kernel-BC variant).
+
+    The corner dependency (a bottom/top corner reads its inward neighbor's
+    macros AFTER the left/right BC changed them) is honored by having the
+    first/last column chunks write their merged macro rows back into er_hbm
+    before the row programs read it -- TPU grid programs run sequentially.
+
+    Grid: [0, nch) left column chunks, [nch, 2*nch) right column chunks,
+    2*nch bottom rows, 2*nch + 1 top rows. Only ~ (2*H*128 + 16*W) cells
+    are touched -- a few %% of the domain.
+    """
+    i = pl.program_id(0)
+    ramp = scal_ref[0, _S_RAMP]
+    rho_in = scal_ref[0, _S_RHOIN]
+    rho_out = scal_ref[0, _S_RHOOUT]
+    w9 = [float(W[k]) for k in range(9)]
+
+    def col_program(c, left):
+        x0 = 0 if left else W_ - 128
+        lane0 = 0 if left else 128  # lane block inside ec
+        # the last chunk is clamped so the window stays inside the real rows
+        # (re-running BC on overlapped rows is idempotent)
+        g0 = min(c * CH, H8 - CH)
+        copies = [
+            # read through the OUTPUT ref: with aliasing it is the same HBM
+            # buffer, and later programs must see earlier programs' stores
+            # (reading the input ref returns the stale snapshot in interpret
+            # mode)
+            pltpu.make_async_copy(
+                fp_out_hbm.at[:, pl.ds(PY + g0, CH), pl.ds(x0, 128)],
+                s_col, sem_a,
+            ),
+            pltpu.make_async_copy(
+                mask_hbm.at[pl.ds(g0, CH), pl.ds(x0, 128)], m_col, sem_b
+            ),
+            pltpu.make_async_copy(
+                ec_hbm.at[:, pl.ds(g0, CH), pl.ds(lane0, 128)], s_mc, sem_c
+            ),
+        ]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+        f = s_col[:]
+        mac = s_mc[:]
+        rho, ux, uy = mac[0], mac[1], mac[2]
+
+        def nb(a):  # neighbor: col 1 (left) / col 126-of-128 (right)
+            return pltpu.roll(a, (-1 if left else 1) % 128, axis=a.ndim - 1)
+
+        if left:
+            vals = bc_left_values(
+                nb(f), nb(rho), nb(ux), nb(uy), ramp, bc_type[0], rho_in
+            )
+        else:
+            bcv2 = jnp.stack([scal_ref[0, _S_BCV + 4], scal_ref[0, _S_BCV + 5]])
+            vals = bc_right_values(
+                nb(f), nb(rho), nb(ux), nb(uy), ramp, bc_type[2], rho_out, bcv2
+            )
+        fb, rho_b, ux_b, uy_b = vals
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1)
+        g = g0 + row_ids  # g0 is static -> constant mask
+        m = (col_ids == (0 if left else 127)) & (g >= 1) & (g <= H - 2)
+        f = jnp.where(m[None], fb, f)
+        rho = jnp.where(m, rho_b, rho)
+        ux = jnp.where(m, ux_b, ux)
+        uy = jnp.where(m, uy_b, uy)
+
+        solid = m_col[:] > 0.5
+        f_eq_rest = jnp.stack([rho * wk for wk in w9])
+        s_col[:] = jnp.where(solid[None], f_eq_rest, f)
+        store = pltpu.make_async_copy(
+            s_col, fp_out_hbm.at[:, pl.ds(PY + g0, CH), pl.ds(x0, 128)], sem_a
+        )
+        store.start()
+
+        # corner threading: chunks holding the bottom/top edge rows write
+        # their merged macros back so the row programs see post-BC values
+        mac2 = jnp.stack([rho, ux, uy])
+        if g0 == 0:
+            s_fix[:] = mac2[:, 0:8, :]
+            cfix = pltpu.make_async_copy(
+                s_fix, er_hbm.at[:, pl.ds(0, 8), pl.ds(x0, 128)], sem_c
+            )
+            cfix.start()
+            cfix.wait()
+        if g0 + CH >= H:
+            r_t = H - 8 - g0
+            s_fix[:] = mac2[:, r_t : r_t + 8, :]
+            cfix = pltpu.make_async_copy(
+                s_fix, er_hbm.at[:, pl.ds(8, 8), pl.ds(x0, 128)], sem_c
+            )
+            cfix.start()
+            cfix.wait()
+        store.wait()
+
+    def row_program(top):
+        # bottom: padded rows [PY, PY+8) = global 0..7, edge local 0, nb 1
+        # top: padded rows [H, H+8) = global H-8..H-1, edge local 7, nb 6
+        r0, g0, edge_r, nb_r = (H, H - 8, 7, 6) if top else (PY, 0, 0, 1)
+        e0 = 8 if top else 0  # row block inside er
+        side = 1 if top else 3
+        bcv_off = _S_BCV + 2 if top else _S_BCV + 6
+        copies = [
+            pltpu.make_async_copy(
+                fp_out_hbm.at[:, pl.ds(r0, 8), pl.ds(0, Wp)], s_rows, sem_a
+            ),
+            pltpu.make_async_copy(
+                mask_hbm.at[pl.ds(g0, 8), pl.ds(0, Wp)], m_rows, sem_b
+            ),
+            pltpu.make_async_copy(
+                er_hbm.at[:, pl.ds(e0, 8), pl.ds(0, Wp)], s_mr, sem_c
+            ),
+        ]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+        f = s_rows[:]
+        mac = s_mr[:]
+        f_nb = f[:, nb_r, :]  # [9, Wp]
+        bcv = jnp.stack([scal_ref[0, bcv_off], scal_ref[0, bcv_off + 1]])
+        fb, rho_b, ux_b, uy_b = bc_horizontal_values(
+            f_nb, mac[0, nb_r, :], mac[1, nb_r, :], mac[2, nb_r, :],
+            ramp, bc_type[side], bcv,
+        )
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, Wp), 0)
+        m = row_ids == edge_r  # full row incl. corners (reference :446-451)
+        f = jnp.where(m[None], fb[:, None, :], f)
+        rho = jnp.where(m, rho_b[None, :], mac[0])
+
+        solid = m_rows[:] > 0.5
+        f_eq_rest = jnp.stack([rho * wk for wk in w9])
+        s_rows[:] = jnp.where(solid[None], f_eq_rest, f)
+        store = pltpu.make_async_copy(
+            s_rows, fp_out_hbm.at[:, pl.ds(r0, 8), pl.ds(0, Wp)], sem_a
+        )
+        store.start()
+        store.wait()
+
+    if bc_type[0] in (BC_INLET, BC_FREE_SLIP):
+        for c in range(nch):
+
+            @pl.when(i == c)
+            def _(c=c):
+                col_program(c, left=True)
+
+    if bc_type[2] in (BC_OUTLET, BC_INLET, BC_FREE_SLIP):
+        for c in range(nch):
+
+            @pl.when(i == nch + c)
+            def _(c=c):
+                col_program(c, left=False)
+
+    if bc_type[3] in (BC_INLET, BC_FREE_SLIP):
+
+        @pl.when(i == 2 * nch)
+        def _():
+            row_program(top=False)
+
+    if bc_type[1] in (BC_INLET, BC_FREE_SLIP):
+
+        @pl.when(i == 2 * nch + 1)
+        def _():
+            row_program(top=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("edims", "bc_type", "interpret")
+)
+def _edge_bc_step(fp, mask_p, ec, er, scalars, edims, bc_type, interpret):
+    """Apply the boundary ring in place on the padded buffer (aliased I/O).
+    edims = (H, W, Hp, Wp); ec/er are the main kernel's exported collide
+    macros on the edge strips."""
+    H, W_, Hp, Wp = edims
+    dtype = fp.dtype
+    H8 = _round_up(H, 8)
+    CH = min(_EDGE_CH, H8)
+    nch = -(-H // CH)
+    kernel = functools.partial(
+        _edge_bc_kernel,
+        H=H, H8=H8, W_=W_, Wp=Wp, CH=CH, nch=nch, bc_type=bc_type,
+    )
+    out, _ = pl.pallas_call(
+        kernel,
+        grid=(2 * nch + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(fp.shape, dtype),
+            jax.ShapeDtypeStruct(er.shape, dtype),
+        ],
+        input_output_aliases={1: 0, 4: 1},
+        scratch_shapes=[
+            pltpu.VMEM((9, CH, 128), dtype),
+            pltpu.VMEM((9, 8, Wp), dtype),
+            pltpu.VMEM((3, CH, 128), dtype),
+            pltpu.VMEM((3, 8, Wp), dtype),
+            pltpu.VMEM((CH, 128), dtype),
+            pltpu.VMEM((8, Wp), dtype),
+            pltpu.VMEM((3, 8, 128), dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(scalars, fp, mask_p, ec, er)
+    return out
 
 
 def _scalars(p: CaseParams, step, dtype):
@@ -498,25 +842,57 @@ def _scalars(p: CaseParams, step, dtype):
     ).reshape(1, 14)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "interpret", "tiles"))
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "interpret", "tiles", "split_bc")
+)
 def run_chunk_pallas(
     state: LBMState, p: CaseParams, n_steps: int, interpret: bool = False,
-    tiles=None,
+    tiles=None, split_bc=None,
 ):
     """Advance n_steps with the fused kernel; same contract as run_chunk.
 
     ``tiles`` optionally overrides the (BH_fast, BH_full, BW, PX) geometry
     (used by tests to exercise the column-tiled path on small grids).
+
+    ``split_bc``: fast steps run the main kernel WITHOUT boundary branches
+    (taller bands, fewer live temps) and a second tiny kernel rewrites the
+    boundary ring in place (_edge_bc_kernel). None = auto (on when the
+    geometry is eligible: full-width bands, W a lane multiple, H a sublane
+    multiple). The closing full step always uses the in-kernel-BC variant.
     """
     if not supports(p):
         raise ValueError(f"bc_type {p.bc_type} unsupported by the fused kernel")
     _, H, W_ = state.f.shape
     dtype = state.f.dtype
     bh_fast, bh_full, BW, PX = tiles or _pick_tiles(H, W_)
+    eligible = (
+        PX == 0 and W_ % LANE == 0 and H % 8 == 0 and H >= 16
+        and _round_up(W_, BW) == W_
+    )
+    if split_bc is None:
+        split_bc = eligible and tiles is None
+    elif split_bc and not eligible:
+        raise ValueError(
+            f"split_bc needs full-width bands, W % 128 == 0, H % 8 == 0 "
+            f"(got H={H}, W={W_}, PX={PX})"
+        )
+    if split_bc and tiles is None:
+        bh_fast = _pick_split_bh(H, W_)
+        # the closing full step keeps in-kernel BCs (~53 live planes/row
+        # with the rho/u/f_post output blocks); pick the largest band that
+        # divides the taller split-mode Hp and still fits scoped VMEM
+        hp = _round_up(H, bh_fast)
+        cands = [bh_full, bh_fast // 2, bh_fast // 4, 16, 8]
+        bh_full = next(
+            b for b in cands
+            if b and hp % b == 0
+            and (53 * b + 144) * _round_up(W_, BW) <= 12 * 1024 * 1024 // 4
+        )
     Wp = _round_up(W_, BW)
-    Hp = _round_up(H, bh_fast)  # bh_full = bh_fast/2 divides Hp too
+    Hp = _round_up(H, bh_fast)  # bh_full divides Hp (checked/derived above)
     dims_fast = (H, W_, H, W_, Hp, Wp, bh_fast, BW, PX)
     dims_full = (H, W_, H, W_, Hp, Wp, bh_full, BW, PX)
+    edims = (H, W_, Hp, Wp)
 
     fp = jnp.pad(
         state.f, ((0, 0), (PY, PY + (Hp - H)), (PX, PX + (Wp - W_)))
@@ -528,10 +904,19 @@ def run_chunk_pallas(
         fp, step = carry
         step = step + 1
         scal = _scalars(p, step, dtype)
-        (fp_new,) = _pallas_step(
-            fp, damping_p, mask_p, scal, None, None, None, dims_fast,
-            p.use_les, p.bc_type, False, interpret,
-        )
+        if split_bc:
+            fp_new, ec, er = _pallas_step(
+                fp, damping_p, mask_p, scal, None, None, None, dims_fast,
+                p.use_les, p.bc_type, False, interpret, False,
+            )
+            fp_new = _edge_bc_step(
+                fp_new, mask_p, ec, er, scal, edims, p.bc_type, interpret
+            )
+        else:
+            (fp_new,) = _pallas_step(
+                fp, damping_p, mask_p, scal, None, None, None, dims_fast,
+                p.use_les, p.bc_type, False, interpret, True,
+            )
         return (fp_new, step), None
 
     carry = (fp, state.step)
