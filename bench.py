@@ -37,6 +37,9 @@ def main() -> None:
     state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
     sync(mon)
 
+    # (an all-chunks-in-one-jit variant -- lax.scan over run_chunk calls --
+    # measured 732 MLUPS: XLA schedules the nested scan pathologically, so
+    # the host loop stays; its ~2ms/dispatch tunnel latency is included)
     n_chunks = 4
     t0 = time.perf_counter()
     for _ in range(n_chunks):
