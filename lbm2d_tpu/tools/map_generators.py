@@ -367,6 +367,14 @@ def generate_mask_set(
         h, w = core.shape
         ny = h + pads["top"] + pads["bot"]
         nx = w + pads["left"] + pads["right"]
+        # TPU fast path: the fused split-BC kernel needs nx to be a lane
+        # multiple (128) and ny a sublane multiple (8); grow the outlet-side
+        # sponge padding (physically inert) to reach them, so generated
+        # cases ride the ~1.5x faster kernel instead of the fallback
+        pad_r = pads["right"] + (-nx) % 128
+        pad_t = pads["top"] + (-ny) % 8
+        ny = h + pad_t + pads["bot"]
+        nx = w + pads["left"] + pad_r
         full = np.zeros((ny, nx), np.uint8)
         full[pads["bot"] : pads["bot"] + h, pads["left"] : pads["left"] + w] = core
 
@@ -374,7 +382,7 @@ def generate_mask_set(
         _save_mask_png(full, os.path.join(out_dir, fname), invert_values=True)
         entries.append(
             metadata_entry(
-                fname, nx, ny, pads["left"], pads["right"], pads["top"], pads["bot"],
+                fname, nx, ny, pads["left"], pad_r, pad_t, pads["bot"],
                 m_per_px,
             )
         )

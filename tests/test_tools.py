@@ -113,7 +113,10 @@ def test_mask_to_config_pipeline(tmp_path, monkeypatch):
     master["settings"]["project_name"] = "ToolTest"
     master["settings"]["blockage_buffer"] = 16
     master["map_generator"]["domain"] = {"width": 384, "height": 192}
-    master["map_generator"]["padding"] = {"left": 48, "right": 80, "top": 32, "bot": 32}
+    # deliberately lane/sublane-misaligned pads: gen_masks must grow the
+    # outlet-side and top sponge so nx % 128 == 0 and ny % 8 == 0 (the fused
+    # split-BC kernel's fast-path eligibility)
+    master["map_generator"]["padding"] = {"left": 48, "right": 70, "top": 31, "bot": 32}
     master["map_generator"]["validation"]["boundary_buffer"] = 8
     master["map_generator"]["step_urban"]["rect_size"] = {"w": [12, 40], "h": [12, 40]}
     master["map_generator"]["step_urban"]["min_distance"] = [4, 8]
@@ -125,8 +128,12 @@ def test_mask_to_config_pipeline(tmp_path, monkeypatch):
     assert len(files) == 2
     with open(os.path.join(mask_dir, "metadata.json")) as fh:
         meta = json.load(fh)
-    assert meta[0]["domain_W_total"] == 384 + 48 + 80
-    assert meta[0]["domain_H_total"] == 192 + 64
+    assert meta[0]["domain_W_total"] == 512  # 384 + 48 + 70 rounded up
+    assert meta[0]["domain_H_total"] == 256  # 192 + 31 + 32 rounded up
+    assert meta[0]["domain_W_total"] % 128 == 0
+    assert meta[0]["domain_H_total"] % 8 == 0
+    assert meta[0]["pad_right"] == 70 + (512 - 502)
+    assert meta[0]["pad_top"] == 31 + 1
 
     master_path = "master_small.yaml"
     with open(master_path, "w") as fh:
