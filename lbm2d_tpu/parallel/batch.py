@@ -98,13 +98,29 @@ def moments_batched(state: LBMState) -> jnp.ndarray:
 
 
 class BatchEngine:
-    """Run B same-shape cases in lockstep on one device."""
+    """Run B same-shape cases in lockstep on one device.
+
+    Two execution strategies behind the same API:
+
+    * ``vmap`` -- one compiled step advances all B cases (the original
+      lockstep). The jnp step is HBM-bound (~15 materialized arrays/step),
+      so ADDING cases does not add throughput: aggregate MLUPS stays at the
+      single-case jnp level regardless of B.
+    * ``pallas`` -- cases advance SEQUENTIALLY through the fused Pallas
+      kernel, one n-step chunk each per run_step call. The kernel runs
+      ~15x faster than the jnp step at production sizes, so sequential
+      beats lockstep decisively; per-dispatch latency amortizes over the
+      chunk. Dead cases freeze exactly like the vmap path (skipped, state
+      kept). Selected automatically on TPU for supported BCs and grids
+      >= 2^16 cells (``runner="auto"``).
+    """
 
     def __init__(
         self,
         configs: Sequence[Dict[str, Any]],
         masks_yx: Sequence[np.ndarray],
         dtype=jnp.float32,
+        runner: str = "auto",
     ):
         if len(configs) != len(masks_yx):
             raise ValueError("configs and masks must align")
@@ -112,19 +128,72 @@ class BatchEngine:
         sim0 = configs[0]["simulation"]
         self.ny, self.nx = int(sim0["ny"]), int(sim0["nx"])
         self.batch = len(configs)
-        self.params = stack_params(
-            [make_params(c, m, dtype) for c, m in zip(configs, masks_yx)]
-        )
+        self.case_params = [
+            make_params(c, m, dtype) for c, m in zip(configs, masks_yx)
+        ]
+        self.params = stack_params(self.case_params)
         self.state = init_batch_state(self.batch, self.ny, self.nx, dtype)
         self.alive = jnp.ones((self.batch,), bool)
         self.last_monitors: Optional[Dict[str, jnp.ndarray]] = None
 
-    def run_step(self, n: int = 1) -> Dict[str, np.ndarray]:
-        self.state, self.alive, mon = run_chunk_batched(
-            self.state, self.params, self.alive, n_steps=n
+        from ..ops.pallas_step import supports
+
+        if runner not in ("auto", "vmap", "pallas"):
+            raise ValueError(f"unknown runner {runner!r}")
+        platform = jax.devices()[0].platform
+        self._interpret = platform not in ("tpu", "axon")  # tests on CPU
+        self._sequential = runner == "pallas" or (
+            runner == "auto"
+            and platform in ("tpu", "axon")
+            and supports(self.case_params[0])
+            and self.ny * self.nx >= 1 << 16
         )
+
+    def run_step(self, n: int = 1) -> Dict[str, np.ndarray]:
+        if self._sequential:
+            mon = self._run_step_sequential(n)
+        else:
+            self.state, self.alive, mon = run_chunk_batched(
+                self.state, self.params, self.alive, n_steps=n
+            )
         self.last_monitors = mon
         return {k: np.asarray(v) for k, v in mon.items()}
+
+    def _run_step_sequential(self, n: int) -> Dict[str, jnp.ndarray]:
+        from ..ops.pallas_step import run_chunk_pallas
+
+        alive_host = np.asarray(self.alive)
+        states = [
+            jax.tree.map(lambda x, i=i: x[i], self.state)
+            for i in range(self.batch)
+        ]
+        forces, max_vs, stables = [], [], []
+        for i in range(self.batch):
+            if alive_host[i]:
+                states[i], mon_i = run_chunk_pallas(
+                    states[i], self.case_params[i], n_steps=n,
+                    interpret=self._interpret,
+                )
+                force, max_v = mon_i["force"], mon_i["max_v"]
+            else:  # frozen: recompute monitors from the kept state
+                force = force_on_obstacle(
+                    states[i].f_post, self.case_params[i].mask
+                )
+                max_v = max_velocity(states[i].u)
+            stable = is_stable_device(
+                force, max_v, states[i].step, self.case_params[i].warmup_steps
+            )
+            forces.append(force)
+            max_vs.append(max_v)
+            stables.append(stable)
+        self.state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        stable_b = jnp.stack(stables)
+        self.alive = self.alive & stable_b
+        return {
+            "force": jnp.stack(forces),
+            "max_v": jnp.stack(max_vs),
+            "stable": stable_b,
+        }
 
     def get_moments(self) -> np.ndarray:
         return np.asarray(moments_batched(self.state))

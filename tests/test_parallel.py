@@ -144,6 +144,33 @@ def test_batch_matches_percase():
     assert be.alive_mask.all()
 
 
+def test_batch_sequential_pallas_matches_vmap():
+    """BatchEngine(runner='pallas') -- sequential fused-kernel advancement --
+    must reproduce the vmap lockstep path exactly (interpret mode on CPU),
+    including the divergence freeze."""
+    nx, ny = 64, 32
+    good = grid_config(nx, ny, rho_in=1.02)
+    bad = grid_config(nx, ny, rho_in=1.02)
+    bad["simulation"]["nu"] = -0.16  # tau < 0.5: unconditionally unstable
+    bad["simulation"]["warmup_steps"] = 1
+    masks = [block_mask(ny, nx), block_mask(ny, nx)]
+
+    be_v = BatchEngine([good, bad], masks, runner="vmap")
+    be_p = BatchEngine([good, bad], masks, runner="pallas")
+    for _ in range(6):
+        mv = be_v.run_step(10)
+        mp = be_p.run_step(10)
+    assert (be_v.alive_mask == be_p.alive_mask).all()
+    assert be_p.alive_mask[0] and not be_p.alive_mask[1]
+    np.testing.assert_allclose(
+        np.asarray(be_p.state.f[0]), np.asarray(be_v.state.f[0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(mp["force"]), np.asarray(mv["force"]), atol=1e-4
+    )
+    np.testing.assert_allclose(be_p.get_moments()[0], be_v.get_moments()[0], atol=1e-5)
+
+
 def test_batch_divergence_freezes_only_bad_case():
     nx, ny = 48, 24
     good = grid_config(nx, ny, rho_in=1.02)
