@@ -113,16 +113,29 @@ def _pick_tiles(h: int, w: int):
     return max(16, bh), max(8, bh // 2), bw, px
 
 
-def _pick_split_bh(h: int, w: int) -> int:
-    """Fast-step band height for split-BC mode: without the in-kernel BC
+def _pick_split_tiles(h: int, w: int):
+    """(BH, BW, PX) for split-BC fast steps: without the in-kernel BC
     branches the kernel holds ~19 live f32 planes per band row (measured on
     v5e; BH=128 fastest at 1024^2, BH=256 OOMs at ~19M), so bands can be
-    much taller than _pick_tiles' 80."""
+    much taller than _pick_tiles' 80.
+
+    Wide grids stay on short full-width bands: the column-tiled alternative
+    (BW=1024, PX=128, BH=64) measured a TIE at 4096^2 (2835 vs 2845 MLUPS)
+    because halo-SLICE streaming relayouts the shifted column reads (~33
+    live planes/row vs 19 for lane rolls) and the program count is the
+    same; both are per-program-overhead-bound at that size (~330 GB/s
+    effective vs the 945 GB/s ceiling). Column tiles remain available via
+    the tiles override and are parity-tested."""
     budget = 13 * 1024 * 1024 // 4  # floats (13MB of the 16MB core)
+    wp128 = _round_up(w, 128)
+    bw, px = wp128, 0
+    # lane-roll streaming (px == 0) holds ~19 planes/row; halo-slice
+    # streaming (px > 0) relayouts the shifted column reads, ~33 (measured)
+    planes = 19 if px == 0 else 33
     bh = min(128, _round_up(h, 16))
-    while bh > 16 and (19 * bh + 4 * PY * 9) * w > budget:
+    while bh > 16 and (planes * bh + 4 * PY * 9) * (bw + 2 * px) > budget:
         bh -= 16
-    return max(16, bh)
+    return max(16, bh), bw, px
 
 
 def _stream_band(scratch_in, BH: int, BW: int, PX: int):
@@ -394,24 +407,35 @@ def _step_kernel(
         if ec_hbm is not None:
             mac = jnp.stack([rho, ux, uy])
             y0g = i * BH
-            s_ec[:] = mac[:, :, 0:128]
-            cl = pltpu.make_async_copy(
-                s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(0, 128)], sem_out
-            )
-            cl.start()
-            cl.wait()
-            s_ec[:] = mac[:, :, BW - 128 : BW]
-            cr = pltpu.make_async_copy(
-                s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(128, 128)], sem_out
-            )
-            cr.start()
-            cr.wait()
+            # left/right strips live in the first / last REAL column tile
+            # (full-width bands: both are tile j == 0)
+            j_rt = (Wg - 1) // BW
+            c0 = (Wg - 128) - j_rt * BW  # right strip's tile-local col
 
+            @pl.when(j == 0)
+            def _():
+                s_ec[:] = mac[:, :, 0:128]
+                c = pltpu.make_async_copy(
+                    s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(0, 128)], sem_out
+                )
+                c.start()
+                c.wait()
+
+            @pl.when(j == j_rt)
+            def _():
+                s_ec[:] = mac[:, :, c0 : c0 + 128]
+                c = pltpu.make_async_copy(
+                    s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(128, 128)], sem_out
+                )
+                c.start()
+                c.wait()
+
+            # edge rows span every column tile: each writes its x-part
             @pl.when(i == 0)
             def _():
                 s_er[:] = mac[:, 0:8, :]
                 c = pltpu.make_async_copy(
-                    s_er, er_hbm.at[:, pl.ds(0, 8), pl.ds(0, BW)], sem_out
+                    s_er, er_hbm.at[:, pl.ds(0, 8), pl.ds(x0, BW)], sem_out
                 )
                 c.start()
                 c.wait()
@@ -422,7 +446,7 @@ def _step_kernel(
             def _():
                 s_er[:] = mac[:, r_t : r_t + 8, :]
                 c = pltpu.make_async_copy(
-                    s_er, er_hbm.at[:, pl.ds(8, 8), pl.ds(0, BW)], sem_out
+                    s_er, er_hbm.at[:, pl.ds(8, 8), pl.ds(x0, BW)], sem_out
                 )
                 c.start()
                 c.wait()
@@ -587,6 +611,7 @@ def _edge_bc_kernel(
     H8: int,
     W_: int,
     Wp: int,
+    PXs: int,
     CH: int,
     nch: int,
     bc_type,
@@ -617,7 +642,7 @@ def _edge_bc_kernel(
     w9 = [float(W[k]) for k in range(9)]
 
     def col_program(c, left):
-        x0 = 0 if left else W_ - 128
+        x0 = PXs + (0 if left else W_ - 128)  # buffer col (incl. x-halo pad)
         lane0 = 0 if left else 128  # lane block inside ec
         # the last chunk is clamped so the window stays inside the real rows
         # (re-running BC on overlapped rows is idempotent)
@@ -632,7 +657,7 @@ def _edge_bc_kernel(
                 s_col, sem_a,
             ),
             pltpu.make_async_copy(
-                mask_hbm.at[pl.ds(g0, CH), pl.ds(x0, 128)], m_col, sem_b
+                mask_hbm.at[pl.ds(g0, CH), pl.ds(x0 - PXs, 128)], m_col, sem_b
             ),
             pltpu.make_async_copy(
                 ec_hbm.at[:, pl.ds(g0, CH), pl.ds(lane0, 128)], s_mc, sem_c
@@ -683,7 +708,7 @@ def _edge_bc_kernel(
         if g0 == 0:
             s_fix[:] = mac2[:, 0:8, :]
             cfix = pltpu.make_async_copy(
-                s_fix, er_hbm.at[:, pl.ds(0, 8), pl.ds(x0, 128)], sem_c
+                s_fix, er_hbm.at[:, pl.ds(0, 8), pl.ds(x0 - PXs, 128)], sem_c
             )
             cfix.start()
             cfix.wait()
@@ -691,7 +716,7 @@ def _edge_bc_kernel(
             r_t = H - 8 - g0
             s_fix[:] = mac2[:, r_t : r_t + 8, :]
             cfix = pltpu.make_async_copy(
-                s_fix, er_hbm.at[:, pl.ds(8, 8), pl.ds(x0, 128)], sem_c
+                s_fix, er_hbm.at[:, pl.ds(8, 8), pl.ds(x0 - PXs, 128)], sem_c
             )
             cfix.start()
             cfix.wait()
@@ -700,13 +725,14 @@ def _edge_bc_kernel(
     def row_program(top):
         # bottom: padded rows [PY, PY+8) = global 0..7, edge local 0, nb 1
         # top: padded rows [H, H+8) = global H-8..H-1, edge local 7, nb 6
+        # padded row r0; x covers the real columns at buffer offset PXs
         r0, g0, edge_r, nb_r = (H, H - 8, 7, 6) if top else (PY, 0, 0, 1)
         e0 = 8 if top else 0  # row block inside er
         side = 1 if top else 3
         bcv_off = _S_BCV + 2 if top else _S_BCV + 6
         copies = [
             pltpu.make_async_copy(
-                fp_out_hbm.at[:, pl.ds(r0, 8), pl.ds(0, Wp)], s_rows, sem_a
+                fp_out_hbm.at[:, pl.ds(r0, 8), pl.ds(PXs, Wp)], s_rows, sem_a
             ),
             pltpu.make_async_copy(
                 mask_hbm.at[pl.ds(g0, 8), pl.ds(0, Wp)], m_rows, sem_b
@@ -737,7 +763,7 @@ def _edge_bc_kernel(
         f_eq_rest = jnp.stack([rho * wk for wk in w9])
         s_rows[:] = jnp.where(solid[None], f_eq_rest, f)
         store = pltpu.make_async_copy(
-            s_rows, fp_out_hbm.at[:, pl.ds(r0, 8), pl.ds(0, Wp)], sem_a
+            s_rows, fp_out_hbm.at[:, pl.ds(r0, 8), pl.ds(PXs, Wp)], sem_a
         )
         store.start()
         store.wait()
@@ -776,14 +802,14 @@ def _edge_bc_step(fp, mask_p, ec, er, scalars, edims, bc_type, interpret):
     """Apply the boundary ring in place on the padded buffer (aliased I/O).
     edims = (H, W, Hp, Wp); ec/er are the main kernel's exported collide
     macros on the edge strips."""
-    H, W_, Hp, Wp = edims
+    H, W_, Hp, Wp, PXs = edims
     dtype = fp.dtype
     H8 = _round_up(H, 8)
     CH = min(_EDGE_CH, H8)
     nch = -(-H // CH)
     kernel = functools.partial(
         _edge_bc_kernel,
-        H=H, H8=H8, W_=W_, Wp=Wp, CH=CH, nch=nch, bc_type=bc_type,
+        H=H, H8=H8, W_=W_, Wp=Wp, PXs=PXs, CH=CH, nch=nch, bc_type=bc_type,
     )
     out, _ = pl.pallas_call(
         kernel,
@@ -857,48 +883,51 @@ def run_chunk_pallas(
     ``split_bc``: fast steps run the main kernel WITHOUT boundary branches
     (taller bands, fewer live temps) and a second tiny kernel rewrites the
     boundary ring in place (_edge_bc_kernel). None = auto (on when the
-    geometry is eligible: full-width bands, W a lane multiple, H a sublane
-    multiple). The closing full step always uses the in-kernel-BC variant.
+    geometry is eligible: W a lane multiple, H a sublane multiple). Wide
+    grids (> 2048 lanes) run the fast steps on 1024-lane column tiles with a
+    real 128-lane x-halo. The closing full step always uses the in-kernel-BC
+    full-width variant.
     """
     if not supports(p):
         raise ValueError(f"bc_type {p.bc_type} unsupported by the fused kernel")
     _, H, W_ = state.f.shape
     dtype = state.f.dtype
     bh_fast, bh_full, BW, PX = tiles or _pick_tiles(H, W_)
-    eligible = (
-        PX == 0 and W_ % LANE == 0 and H % 8 == 0 and H >= 16
-        and _round_up(W_, BW) == W_
-    )
+    eligible = W_ % LANE == 0 and H % 8 == 0 and H >= 16
     if split_bc is None:
         split_bc = eligible and tiles is None
     elif split_bc and not eligible:
         raise ValueError(
-            f"split_bc needs full-width bands, W % 128 == 0, H % 8 == 0 "
-            f"(got H={H}, W={W_}, PX={PX})"
+            f"split_bc needs W % 128 == 0, H % 8 == 0, H >= 16 "
+            f"(got H={H}, W={W_})"
         )
+    # fast-step geometry: split mode may use column tiles on wide grids;
+    # the closing full step (in-kernel BCs + rho/u/f_post outputs) always
+    # uses the full-width _pick_tiles geometry
+    BW_s, PX_s = BW, PX
     if split_bc and tiles is None:
-        bh_fast = _pick_split_bh(H, W_)
-        # the closing full step keeps in-kernel BCs (~53 live planes/row
-        # with the rho/u/f_post output blocks); pick the largest band that
-        # divides the taller split-mode Hp and still fits scoped VMEM
-        hp = _round_up(H, bh_fast)
+        bh_fast, BW_s, PX_s = _pick_split_tiles(H, W_)
+    Wp = _round_up(W_, BW)
+    Wp_s = _round_up(W_, BW_s)
+    Hp = _round_up(H, bh_fast)
+    if split_bc:
+        # pick the largest full-step band that divides the split-mode Hp
+        # and fits scoped VMEM (~53 live planes/row with the output blocks)
         cands = [bh_full, bh_fast // 2, bh_fast // 4, 16, 8]
         bh_full = next(
             b for b in cands
-            if b and hp % b == 0
-            and (53 * b + 144) * _round_up(W_, BW) <= 12 * 1024 * 1024 // 4
+            if b and Hp % b == 0
+            and (53 * b + 144) * Wp <= 12 * 1024 * 1024 // 4
         )
-    Wp = _round_up(W_, BW)
-    Hp = _round_up(H, bh_fast)  # bh_full divides Hp (checked/derived above)
-    dims_fast = (H, W_, H, W_, Hp, Wp, bh_fast, BW, PX)
+    dims_fast = (H, W_, H, W_, Hp, Wp_s, bh_fast, BW_s, PX_s)
     dims_full = (H, W_, H, W_, Hp, Wp, bh_full, BW, PX)
-    edims = (H, W_, Hp, Wp)
+    edims = (H, W_, Hp, Wp_s, PX_s)
 
     fp = jnp.pad(
-        state.f, ((0, 0), (PY, PY + (Hp - H)), (PX, PX + (Wp - W_)))
+        state.f, ((0, 0), (PY, PY + (Hp - H)), (PX_s, PX_s + (Wp_s - W_)))
     )
-    damping_p = jnp.pad(p.damping, ((0, Hp - H), (0, Wp - W_)))
-    mask_p = jnp.pad(p.mask, ((0, Hp - H), (0, Wp - W_)))
+    damping_s = jnp.pad(p.damping, ((0, Hp - H), (0, Wp_s - W_)))
+    mask_s = jnp.pad(p.mask, ((0, Hp - H), (0, Wp_s - W_)))
 
     def fast_body(carry, _):
         fp, step = carry
@@ -906,15 +935,15 @@ def run_chunk_pallas(
         scal = _scalars(p, step, dtype)
         if split_bc:
             fp_new, ec, er = _pallas_step(
-                fp, damping_p, mask_p, scal, None, None, None, dims_fast,
+                fp, damping_s, mask_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, False,
             )
             fp_new = _edge_bc_step(
-                fp_new, mask_p, ec, er, scal, edims, p.bc_type, interpret
+                fp_new, mask_s, ec, er, scal, edims, p.bc_type, interpret
             )
         else:
             (fp_new,) = _pallas_step(
-                fp, damping_p, mask_p, scal, None, None, None, dims_fast,
+                fp, damping_s, mask_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, True,
             )
         return (fp_new, step), None
@@ -925,6 +954,16 @@ def run_chunk_pallas(
     fp, step = carry
     step = step + 1
     scal = _scalars(p, step, dtype)
+    if (PX_s, Wp_s) != (PX, Wp):
+        # column-tiled fast geometry -> re-pad once for the full-width step
+        fp = jnp.pad(
+            fp[:, :, PX_s : PX_s + W_], ((0, 0), (0, 0), (PX, PX + (Wp - W_)))
+        )
+    if (Wp_s - W_) != (Wp - W_) or PX_s != PX:
+        damping_p = jnp.pad(p.damping, ((0, Hp - H), (0, Wp - W_)))
+        mask_p = jnp.pad(p.mask, ((0, Hp - H), (0, Wp - W_)))
+    else:
+        damping_p, mask_p = damping_s, mask_s
     fp, rho_p, u_p, fpost_p = _pallas_step(
         fp, damping_p, mask_p, scal, None, None, None, dims_full,
         p.use_les, p.bc_type, True, interpret,

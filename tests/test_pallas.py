@@ -85,6 +85,29 @@ def test_pallas_column_tiled_matches_jnp():
     )
 
 
+def test_pallas_split_bc_column_tiled():
+    """split-BC fast steps on 3x3 column tiles (BW=128, PX=128): exports
+    gated per tile, edge kernel offset by the x-halo pad, full-width repad
+    before the closing full step."""
+    nx, ny = 384, 96
+    cfg = cfg_grid(nx, ny)
+    mask = block_mask(ny, nx)
+    p = make_params(cfg, mask)
+    ref, ref_mon = run_chunk(init_state(ny, nx), p, 12)
+    got, got_mon = run_chunk_pallas(
+        init_state(ny, nx), p, n_steps=12, interpret=True,
+        tiles=(16, 8, 128, 128), split_bc=True,
+    )
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.f_post), np.asarray(ref.f_post), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )
+
+
 def test_pallas_column_tiled_nonmultiple_width():
     """Column tiles with W not a multiple of BW (garbage-column region)."""
     nx, ny = 320, 64
