@@ -132,7 +132,10 @@ def _pick_split_tiles(h: int, w: int):
     # lane-roll streaming (px == 0) holds ~19 planes/row; halo-slice
     # streaming (px > 0) relayouts the shifted column reads, ~33 (measured)
     planes = 19 if px == 0 else 33
-    bh = min(128, _round_up(h, 16))
+    # cap at 96, not 128: BH=96 ties BH=128 at 1024^2 (9391 vs 9432 MLUPS)
+    # and 128 sits exactly at the 16MB scoped-VMEM edge -- programs that
+    # inline several chunk calls (the fused batch runner) tip over by ~76KB
+    bh = min(96, _round_up(h, 16))
     while bh > 16 and (planes * bh + 4 * PY * 9) * (bw + 2 * px) > budget:
         bh -= 16
     return max(16, bh), bw, px

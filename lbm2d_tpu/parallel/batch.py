@@ -89,6 +89,44 @@ def run_chunk_batched(
     return state, alive, {"force": force, "max_v": max_v, "stable": stable}
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "batch", "interpret")
+)
+def _run_chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret):
+    """Advance B cases SEQUENTIALLY through the fused Pallas kernel inside
+    ONE jit (per-case host dispatches through the tunneled runtime cost
+    ~25% aggregate throughput: 6709 -> 8320 MLUPS at 1024^2, B=4). Dead
+    cases still compute but their results are where-discarded -- identical
+    semantics to the vmap lockstep's per-step freeze."""
+    from ..ops.pallas_step import run_chunk_pallas
+
+    news, forces, maxvs, stables = [], [], [], []
+    for i in range(batch):
+        st_i = jax.tree.map(lambda x: x[i], state_b)
+        p_i = jax.tree.map(lambda x: x[i], p_b)
+        new_i, _ = run_chunk_pallas(
+            st_i, p_i, n_steps=n_steps, interpret=interpret
+        )
+        new_i = jax.tree.map(
+            lambda n, o: jnp.where(alive[i], n, o), new_i, st_i
+        )
+        force = force_on_obstacle(new_i.f_post, p_i.mask)
+        max_v = max_velocity(new_i.u)
+        stables.append(
+            is_stable_device(force, max_v, new_i.step, p_i.warmup_steps)
+        )
+        news.append(new_i)
+        forces.append(force)
+        maxvs.append(max_v)
+    state_b = jax.tree.map(lambda *xs: jnp.stack(xs), *news)
+    stable_b = jnp.stack(stables)
+    return state_b, alive & stable_b, {
+        "force": jnp.stack(forces),
+        "max_v": jnp.stack(maxvs),
+        "stable": stable_b,
+    }
+
+
 _vmoments = jax.vmap(moments_output, in_axes=0)
 
 
@@ -156,44 +194,33 @@ class BatchEngine:
             self.state, self.alive, mon = run_chunk_batched(
                 self.state, self.params, self.alive, n_steps=n
             )
-        self.last_monitors = mon
-        return {k: np.asarray(v) for k, v in mon.items()}
+        # ONE device->host transfer for all monitors: each np.asarray is a
+        # tunnel round trip (~15ms on the remoted runtime), and three of
+        # them per chunk measured ~20% of aggregate throughput
+        b = self.batch
+        packed = np.asarray(
+            jnp.concatenate(
+                [
+                    mon["force"].reshape(-1).astype(jnp.float32),
+                    mon["max_v"].astype(jnp.float32),
+                    mon["stable"].astype(jnp.float32),
+                ]
+            )
+        )
+        out = {
+            "force": packed[: 2 * b].reshape(b, 2),
+            "max_v": packed[2 * b : 3 * b],
+            "stable": packed[3 * b :] > 0.5,
+        }
+        self.last_monitors = out
+        return out
 
     def _run_step_sequential(self, n: int) -> Dict[str, jnp.ndarray]:
-        from ..ops.pallas_step import run_chunk_pallas
-
-        alive_host = np.asarray(self.alive)
-        states = [
-            jax.tree.map(lambda x, i=i: x[i], self.state)
-            for i in range(self.batch)
-        ]
-        forces, max_vs, stables = [], [], []
-        for i in range(self.batch):
-            if alive_host[i]:
-                states[i], mon_i = run_chunk_pallas(
-                    states[i], self.case_params[i], n_steps=n,
-                    interpret=self._interpret,
-                )
-                force, max_v = mon_i["force"], mon_i["max_v"]
-            else:  # frozen: recompute monitors from the kept state
-                force = force_on_obstacle(
-                    states[i].f_post, self.case_params[i].mask
-                )
-                max_v = max_velocity(states[i].u)
-            stable = is_stable_device(
-                force, max_v, states[i].step, self.case_params[i].warmup_steps
-            )
-            forces.append(force)
-            max_vs.append(max_v)
-            stables.append(stable)
-        self.state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        stable_b = jnp.stack(stables)
-        self.alive = self.alive & stable_b
-        return {
-            "force": jnp.stack(forces),
-            "max_v": jnp.stack(max_vs),
-            "stable": stable_b,
-        }
+        self.state, self.alive, mon = _run_chunk_sequential(
+            self.state, self.params, self.alive, n, self.batch,
+            self._interpret,
+        )
+        return mon
 
     def get_moments(self) -> np.ndarray:
         return np.asarray(moments_batched(self.state))
