@@ -68,6 +68,7 @@ class LBMEngine:
         self._runner = self._resolve_runner(collide_impl)
         self.state: LBMState = init_state(self.ny, self.nx, dtype)
         self._last_monitors = None
+        self._monitors_np = None
 
     def _resolve_runner(self, impl: str):
         """Pick the chunk runner: fused Pallas kernel on TPU, jnp elsewhere.
@@ -101,23 +102,38 @@ class LBMEngine:
     def init(self) -> None:
         self.state = init_state(self.ny, self.nx, self.dtype)
         self._last_monitors = None
+        self._monitors_np = None
 
     def run_step(self, steps: int = 1) -> None:
         self.state, self._last_monitors = self._runner(self.state, self.params, steps)
+        self._monitors_np = None
+
+    def _fetch_monitors(self) -> np.ndarray:
+        """[Fx, Fy, max_v] in ONE device->host transfer. On the remoted TPU
+        runtime every np.asarray is a ~15ms round trip; the per-chunk loop
+        reads force AND max_v, so fetching them separately doubles the
+        monitor overhead."""
+        if self._monitors_np is None:
+            import jax.numpy as jnp
+
+            if self._last_monitors is None:
+                from .solver import force_on_obstacle, max_velocity
+
+                force = force_on_obstacle(self.state.f_post, self.params.mask)
+                max_v = max_velocity(self.state.u)
+            else:
+                force = self._last_monitors["force"]
+                max_v = self._last_monitors["max_v"]
+            self._monitors_np = np.asarray(
+                jnp.concatenate([force.reshape(-1), max_v.reshape(1)])
+            )
+        return self._monitors_np
 
     def get_force(self) -> np.ndarray:
-        if self._last_monitors is None:
-            from .solver import force_on_obstacle
-
-            return np.asarray(force_on_obstacle(self.state.f_post, self.params.mask))
-        return np.asarray(self._last_monitors["force"])
+        return self._fetch_monitors()[:2]
 
     def get_max_velocity(self) -> float:
-        if self._last_monitors is None:
-            from .solver import max_velocity
-
-            return float(max_velocity(self.state.u))
-        return float(self._last_monitors["max_v"])
+        return float(self._fetch_monitors()[2])
 
     def get_physical_fields(self) -> Tuple[np.ndarray, np.ndarray]:
         """(u [2,H,W], mask [H,W]) as numpy."""
@@ -157,3 +173,4 @@ class LBMEngine:
             step=jnp.asarray(data["step"], jnp.int32),
         )
         self._last_monitors = None
+        self._monitors_np = None
