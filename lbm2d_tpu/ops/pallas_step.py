@@ -411,9 +411,10 @@ def _step_kernel(
             mac = jnp.stack([rho, ux, uy])
             y0g = i * BH
             # left/right strips live in the first / last REAL column tile
-            # (full-width bands: both are tile j == 0)
-            j_rt = (Wg - 1) // BW
-            c0 = (Wg - 128) - j_rt * BW  # right strip's tile-local col
+            # (full-width bands: both are tile j == 0); LOCAL dims -- under
+            # shard_map the strips are per-shard
+            j_rt = (WL - 1) // BW
+            c0 = (WL - 128) - j_rt * BW  # right strip's tile-local col
 
             @pl.when(j == 0)
             def _():
@@ -443,7 +444,7 @@ def _step_kernel(
                 c.start()
                 c.wait()
 
-            i_t, r_t = divmod(Hg - 8, BH)
+            i_t, r_t = divmod(HL - 8, BH)
 
             @pl.when(i == i_t)
             def _():
@@ -492,7 +493,7 @@ def _pallas_step(
     grid = (Hp // BH, Wp // BW)
     sharded = offs is not None
     halo = h_lo is not None
-    export = not apply_bc and not sharded  # split-BC edge-macro export
+    export = not apply_bc  # split-BC edge-macro export
 
     out_shape = [jax.ShapeDtypeStruct(fp.shape, dtype)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
@@ -593,6 +594,7 @@ _EDGE_CH = 256  # edge-kernel column-strip chunk height (rows per program)
 
 def _edge_bc_kernel(
     scal_ref,  # SMEM (1, 14)
+    offs_ref,  # SMEM (1, 2) int32 shard origin (y_off, x_off), or None
     fp_hbm,  # HBM [9, Hp + 2*PY, Wp] -- aliased with fp_out_hbm
     mask_hbm,  # HBM [Hp, Wp]
     ec_hbm,  # HBM (3, Hp, 256) collide rho/ux/uy on the edge column strips
@@ -611,6 +613,7 @@ def _edge_bc_kernel(
     sem_c,
     *,
     H: int,
+    Hg: int,
     H8: int,
     W_: int,
     Wp: int,
@@ -643,6 +646,10 @@ def _edge_bc_kernel(
     rho_in = scal_ref[0, _S_RHOIN]
     rho_out = scal_ref[0, _S_RHOOUT]
     w9 = [float(W[k]) for k in range(9)]
+    # shard_map use (rows-only decomposition: x never sharded): y_off maps
+    # local rows to global ones; strips are tiny, so the traced-scalar
+    # conjuncts in the masks cost nothing here (unlike in the band kernel)
+    y_off = 0 if offs_ref is None else offs_ref[0, 0]
 
     def col_program(c, left):
         x0 = PXs + (0 if left else W_ - 128)  # buffer col (incl. x-halo pad)
@@ -690,8 +697,8 @@ def _edge_bc_kernel(
         fb, rho_b, ux_b, uy_b = vals
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 0)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1)
-        g = g0 + row_ids  # g0 is static -> constant mask
-        m = (col_ids == (0 if left else 127)) & (g >= 1) & (g <= H - 2)
+        g = y_off + g0 + row_ids  # global row (y_off = 0 single-chip)
+        m = (col_ids == (0 if left else 127)) & (g >= 1) & (g <= Hg - 2)
         f = jnp.where(m[None], fb, f)
         rho = jnp.where(m, rho_b, rho)
         ux = jnp.where(m, ux_b, ux)
@@ -759,6 +766,10 @@ def _edge_bc_kernel(
         )
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, Wp), 0)
         m = row_ids == edge_r  # full row incl. corners (reference :446-451)
+        if offs_ref is not None:
+            # only the shard owning the global edge row applies this BC
+            owner = (y_off + H == Hg) if top else (y_off == 0)
+            m = m & owner
         f = jnp.where(m[None], fb[:, None, :], f)
         rho = jnp.where(m, rho_b[None, :], mac[0])
 
@@ -801,29 +812,47 @@ def _edge_bc_kernel(
 @functools.partial(
     jax.jit, static_argnames=("edims", "bc_type", "interpret")
 )
-def _edge_bc_step(fp, mask_p, ec, er, scalars, edims, bc_type, interpret):
+def _edge_bc_step(
+    fp, mask_p, ec, er, scalars, edims, bc_type, interpret, offs=None
+):
     """Apply the boundary ring in place on the padded buffer (aliased I/O).
-    edims = (H, W, Hp, Wp); ec/er are the main kernel's exported collide
-    macros on the edge strips."""
-    H, W_, Hp, Wp, PXs = edims
+    edims = (H, W, Hp, Wp, PXs, Hg) with H the LOCAL block height and Hg the
+    global lattice height (equal single-chip); ec/er are the main kernel's
+    exported collide macros on the edge strips. ``offs`` carries the shard
+    origin under shard_map (rows-only decomposition)."""
+    H, W_, Hp, Wp, PXs, Hg = edims
     dtype = fp.dtype
     H8 = _round_up(H, 8)
     CH = min(_EDGE_CH, H8)
     nch = -(-H // CH)
-    kernel = functools.partial(
-        _edge_bc_kernel,
-        H=H, H8=H8, W_=W_, Wp=Wp, PXs=PXs, CH=CH, nch=nch, bc_type=bc_type,
-    )
+    sharded = offs is not None
+
+    def kernel(*refs):
+        it = iter(refs)
+        scal = next(it)
+        offs_r = next(it) if sharded else None
+        rest = list(it)
+        _edge_bc_kernel(
+            scal, offs_r, *rest,
+            H=H, Hg=Hg, H8=H8, W_=W_, Wp=Wp, PXs=PXs, CH=CH, nch=nch,
+            bc_type=bc_type,
+        )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [scalars]
+    if sharded:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(offs)
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
     out, _ = pl.pallas_call(
         kernel,
         grid=(2 * nch + 2,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -832,7 +861,7 @@ def _edge_bc_step(fp, mask_p, ec, er, scalars, edims, bc_type, interpret):
             jax.ShapeDtypeStruct(fp.shape, dtype),
             jax.ShapeDtypeStruct(er.shape, dtype),
         ],
-        input_output_aliases={1: 0, 4: 1},
+        input_output_aliases={2 if sharded else 1: 0, 5 if sharded else 4: 1},
         scratch_shapes=[
             pltpu.VMEM((9, CH, 128), dtype),
             pltpu.VMEM((9, 8, Wp), dtype),
@@ -846,7 +875,7 @@ def _edge_bc_step(fp, mask_p, ec, er, scalars, edims, bc_type, interpret):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(scalars, fp, mask_p, ec, er)
+    )(*args, fp, mask_p, ec, er)
     return out
 
 
@@ -924,7 +953,7 @@ def run_chunk_pallas(
         )
     dims_fast = (H, W_, H, W_, Hp, Wp_s, bh_fast, BW_s, PX_s)
     dims_full = (H, W_, H, W_, Hp, Wp, bh_full, BW, PX)
-    edims = (H, W_, Hp, Wp_s, PX_s)
+    edims = (H, W_, Hp, Wp_s, PX_s, H)
 
     fp = jnp.pad(
         state.f, ((0, 0), (PY, PY + (Hp - H)), (PX_s, PX_s + (Wp_s - W_)))

@@ -273,7 +273,9 @@ def run_chunk_sharded_pallas(
     """
     from ..ops.pallas_step import (
         PY,
+        _edge_bc_step,
         _pallas_step,
+        _pick_split_tiles,
         _round_up,
         _scalars,
         supports,
@@ -293,10 +295,28 @@ def run_chunk_sharded_pallas(
     )
     if not interpret and rxs > 1 and wl % 128:
         raise ValueError(f"local width {wl} must be a multiple of 128 lanes")
+    # split-BC fast steps (rows-only decomposition): the band kernel drops
+    # the in-kernel BCs AND the traced shard-ownership masks (their scoped
+    # VMEM forced 48-row bands) -- ownership moves to the tiny edge kernel
+    split = (
+        tiles is None and rxs == 1 and wl % 128 == 0
+        and hl % 8 == 0 and hl >= 16
+    )
+    if split:
+        bh_fast, BW, PXs = _pick_split_tiles(hl, wl)
+        hp_s = _round_up(hl, bh_fast)
+        # the chunk-closing full step keeps the traced-mask in-kernel BCs
+        # plus rho/u/f_post output blocks: ~92 live planes per band row
+        bh_full = next(
+            b for b in (48, 32, 16, 8)
+            if hp_s % b == 0
+            and (92 * b + 160) * _round_up(wl, 128) <= 14 * 1024 * 1024 // 4
+        )
     Hp = _round_up(hl, bh_fast)
     Wp = _round_up(wl, BW)
     dims_fast = (ny, nx, hl, wl, Hp, Wp, bh_fast, BW, PXs)
     dims_full = (ny, nx, hl, wl, Hp, Wp, bh_full, BW, PXs)
+    edims = (hl, wl, Hp, Wp, PXs, ny)
     dtype = state.f.dtype
 
     def local_chunk(state_l: LBMState, p_l: CaseParams) -> LBMState:
@@ -328,6 +348,18 @@ def run_chunk_sharded_pallas(
 
         def advance(fp, h_lo, h_hi, step, dims, full):
             scal = _scalars(p_l, step, dtype)
+            if split and not full:
+                # band kernel without BCs (needs no shard origin) + edge
+                # kernel gated by the shard origin
+                fp_new, ec, er = _pallas_step(
+                    fp, damping_b, mask_b, scal, None, h_lo, h_hi, dims,
+                    p_l.use_les, p_l.bc_type, False, interpret, False,
+                )
+                fp_new = _edge_bc_step(
+                    fp_new, mask_b, ec, er, scal, edims, p_l.bc_type,
+                    interpret, offs=offs,
+                )
+                return (fp_new,)
             return _pallas_step(
                 fp, damping_b, mask_b, scal, offs, h_lo, h_hi, dims,
                 p_l.use_les, p_l.bc_type, full, interpret,

@@ -93,6 +93,36 @@ def test_sharded_pallas_equals_unsharded():
     )
 
 
+def test_sharded_pallas_split_bc():
+    """Eligible rows-only geometry (wl % 128 == 0, hl % 8 == 0, hl >= 16)
+    auto-selects the split-BC fast path: bandless-BC kernel + edge kernel
+    gated by the shard origin; must match the single-device jnp chunk."""
+    assert len(jax.devices()) >= 8
+    nx, ny = 128, 64
+    cfg = grid_config(nx, ny)
+    mask = block_mask(ny, nx)
+    p = make_params(cfg, mask)
+    ref_state, ref_mon = run_chunk(init_state(ny, nx), p, 12)
+
+    mesh = make_mesh(shape=(4, 1), devices=jax.devices()[:4])  # hl=16, wl=128
+    st_sh, p_sh = shard_state(init_state(ny, nx), make_params(cfg, mask), mesh)
+    sh_state, sh_mon = run_chunk_sharded_pallas(
+        st_sh, p_sh, n_steps=12, mesh=mesh, ny=ny, nx=nx, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.f), np.asarray(ref_state.f), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u), np.asarray(ref_state.u), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.f_post), np.asarray(ref_state.f_post), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )
+
+
 def test_sharded_pallas_nonmultiple_band():
     """Row-only decomposition (dx == 1, PX = 0 fast geometry): local height
     not a band multiple (garbage rows inside the padded buffer), local-wrap
