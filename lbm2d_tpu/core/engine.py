@@ -153,15 +153,20 @@ class LBMEngine:
     # -- checkpoint / restore -------------------------------------------------
 
     def save_checkpoint(self, path: str) -> None:
+        # Write-temp-then-rename: a crash mid-write must not corrupt the only
+        # checkpoint (that would defeat crash-resume).
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez_compressed(
-            path,
-            f=np.asarray(self.state.f),
-            f_post=np.asarray(self.state.f_post),
-            rho=np.asarray(self.state.rho),
-            u=np.asarray(self.state.u),
-            step=np.asarray(self.state.step),
-        )
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(
+                fh,
+                f=np.asarray(self.state.f),
+                f_post=np.asarray(self.state.f_post),
+                rho=np.asarray(self.state.rho),
+                u=np.asarray(self.state.u),
+                step=np.asarray(self.state.step),
+            )
+        os.replace(tmp, path)
 
     def load_checkpoint(self, path: str) -> None:
         data = np.load(path)

@@ -116,6 +116,19 @@ def make_params(
         if mask.shape != (ny, nx):
             raise ValueError(f"mask shape {mask.shape} != (ny={ny}, nx={nx})")
     bc = config["boundary_condition"]
+    # Type-1 (Zou-He pressure outlet) on top/bottom is a no-op in this solver,
+    # but the reference apply_bc_core still touches the two i==nx-1 corner
+    # cells for horizontal type-1 sides (LBM2D_MRT_LES.py:495-527).  Reject
+    # the combination so the deviation cannot be hit silently; no generated
+    # config uses it (outlets are always side index 2 = right).
+    bc_types = [int(t) for t in bc["type"]]
+    for side in (1, 3):  # top, bottom
+        if bc_types[side] == 1:
+            raise ValueError(
+                "boundary_condition.type=1 (pressure outlet) on top/bottom is "
+                "not supported (reference applies it only at two corner cells; "
+                "use 2 = free-slip or 0 = velocity inlet)"
+            )
     c_smag = float(sim["smagorinsky_constant"])
     return CaseParams(
         mask=jnp.asarray(mask, dtype),
@@ -128,7 +141,7 @@ def make_params(
         warmup_steps=jnp.asarray(float(sim["warmup_steps"]), dtype),
         bc_value=jnp.asarray(np.asarray(bc["value"], np.float32), dtype),
         use_les=c_smag > 0.001,
-        bc_type=tuple(int(t) for t in bc["type"]),
+        bc_type=tuple(bc_types),
     )
 
 

@@ -13,6 +13,8 @@ from typing import Dict, List
 
 import numpy as np
 
+# Byte-identical to reference io/case_vector_builder.py:27-52 -- downstream
+# consumers key on these names, so they are a contract, not a style choice.
 FEATURE_NAMES: List[str] = [
     # lattice_inputs
     "lat_rho_in",
@@ -25,18 +27,18 @@ FEATURE_NAMES: List[str] = [
     # simulation_outputs
     "sim_actual_reynolds_number",
     "sim_total_steps_executed",
-    "turb_T",
-    "turb_C",
-    "turb_H",
-    "turb_W",
+    "sim_tensor_T",
+    "sim_tensor_C",
+    "sim_tensor_H",
+    "sim_tensor_W",
     # physical_scaled
-    "phys_reynolds_number_calculated",
+    "phys_reynolds_number",
     "phys_characteristic_length_m",
     "phys_inlet_velocity_ms",
-    "phys_kinematic_viscosity_air_m2_s",
+    "phys_kinematic_viscosity_m2s",
     "phys_cell_size_m",
     "phys_time_step_s",
-    "phys_steps_per_physical_second",
+    "phys_steps_per_second",
     "phys_total_simulation_time_s",
 ]
 D = len(FEATURE_NAMES)

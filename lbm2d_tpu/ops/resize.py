@@ -86,9 +86,12 @@ def make_device_resizer(src_h: int, src_w: int, dst_h: int, dst_w: int, dtype=No
     wy = jnp.asarray(resize_weights(src_h, dst_h, np.float32), dtype)
     wx = jnp.asarray(resize_weights(src_w, dst_w, np.float32), dtype)
 
+    # HIGHEST precision: the TPU MXU defaults to bf16 inputs (~1e-3 rel err),
+    # which would make device-resized dataset frames visibly coarser than the
+    # host cv2.INTER_AREA path; full f32 keeps the documented ~1e-6 agreement.
     @jax.jit
     def _resize(x):
-        y = jnp.einsum("oh,...hw->...ow", wy, x)
-        return jnp.einsum("pw,...ow->...op", wx, y)
+        y = jnp.einsum("oh,...hw->...ow", wy, x, precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("pw,...ow->...op", wx, y, precision=jax.lax.Precision.HIGHEST)
 
     return _resize

@@ -43,15 +43,27 @@ from .batch_run import build_resume_plan, find_config_files
 def _group_key(cfg: Dict[str, Any]) -> Tuple:
     sim = cfg["simulation"]
     out = cfg["outputs"]
+    # domain_zones + save resolution + dataset.enable participate because the
+    # --device_resize path builds ONE crop window / resizer from writers[0]
+    # (run_lockstep_group) -- members with different crop geometry must not
+    # share a lockstep group.
+    z = cfg.get("domain_zones", {})
     return (
         sim["nx"],
         sim["ny"],
         tuple(cfg["boundary_condition"]["type"]),
         sim["smagorinsky_constant"] > 0.001,
         sim["compute_step_size"],
+        out["dataset"]["enable"],
         out["dataset"]["interval_steps"],
+        out["dataset"].get("save_resolution_height"),
         out.get("start_record_step", 0),
         sim["max_steps"],
+        z.get("sponge_in", 0),
+        z.get("sponge_out", 0),
+        z.get("sponge_top", 0),
+        z.get("sponge_bot", 0),
+        z.get("buffer", 0),
     )
 
 
@@ -157,12 +169,12 @@ def run_lockstep_group(
         writer = writers[b]
         tensor_shapes = {}
         if writer is not None:
+            writer.close()  # drain the async queue BEFORE reading running_count
             w = writer.writer
             tensor_shapes = {
                 "static_mask": [2, w.target_h, w.target_w],
                 "turbulence": [w.running_count, w.channels, w.target_h, w.target_w],
             }
-            writer.close()
         if fail_reason[b] is not None:
             for path in (h5_paths[b],):
                 if os.path.exists(path):

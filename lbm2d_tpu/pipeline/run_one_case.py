@@ -142,6 +142,7 @@ def main(
         if recorder:
             recorder.stop()
         if writer:
+            writer.close()  # drain the async queue BEFORE reading running_count
             try:
                 if metadata.get("status") == "Success":
                     w = writer.writer
@@ -154,7 +155,6 @@ def main(
                     ]
             except Exception:
                 pass
-            writer.close()
     return metadata
 
 

@@ -56,3 +56,14 @@ def test_engine_rejects_bad_mask_shape():
     cfg["simulation"]["characteristic_length"] = 8
     with pytest.raises(ValueError):
         LBMEngine(cfg, np.zeros((48, 24), np.float32))  # transposed
+
+
+def test_make_params_rejects_horizontal_pressure_outlet():
+    # type-1 on top/bottom would deviate from the reference's corner-cell
+    # outlet quirk (LBM2D_MRT_LES.py:495-527); make_params must refuse it.
+    from lbm2d_tpu.core.solver import make_params
+
+    cfg = tiny_config()
+    cfg["boundary_condition"]["type"] = [0, 1, 1, 2]
+    with pytest.raises(ValueError, match="top/bottom"):
+        make_params(cfg)

@@ -171,6 +171,31 @@ def test_batch_run_end_to_end(tmp_path):
     assert npz["vectors"].shape[1] == 21
     assert npz["statuses"][0] == "Success"
     assert np.isfinite(npz["vectors"][0][:9]).all()
+    # feature names are a downstream contract: byte-identical to reference
+    # io/case_vector_builder.py:27-52
+    assert list(npz["feature_names"]) == [
+        "lat_rho_in",
+        "lat_rho_out",
+        "lat_characteristic_length_px",
+        "lat_inlet_velocity_lu",
+        "lat_kinematic_viscosity_lu",
+        "lat_nx",
+        "lat_ny",
+        "sim_actual_reynolds_number",
+        "sim_total_steps_executed",
+        "sim_tensor_T",
+        "sim_tensor_C",
+        "sim_tensor_H",
+        "sim_tensor_W",
+        "phys_reynolds_number",
+        "phys_characteristic_length_m",
+        "phys_inlet_velocity_ms",
+        "phys_kinematic_viscosity_m2s",
+        "phys_cell_size_m",
+        "phys_time_step_s",
+        "phys_steps_per_second",
+        "phys_total_simulation_time_s",
+    ]
 
     # resume: second run must skip everything
     result2 = run_batch("TestProj", root=root, progress=False)
