@@ -65,6 +65,24 @@ _S_TAU0, _S_CSF, _S_SG, _S_RAMP, _S_RHOIN, _S_RHOOUT = range(6)
 _S_BCV = 6  # bc_value flattened [4*2] starts here; 14 scalars total
 
 
+def pack_aux(damping, mask):
+    """Pack the sponge-damping plane and the solid mask into ONE f32 plane.
+
+    Sponge damping is always >= 0, so the solid flag rides the sign bit:
+    solid cells store copysign(damp, -1) (note -0.0 for damp == 0), fluid
+    cells store damp. The kernel recovers both exactly -- solid =
+    signbit(aux), damp = |aux| -- halving the per-step HBM traffic of the
+    two auxiliary planes (measured ~4.3 MB/step at 1024^2).
+    """
+    return jnp.where(mask > 0.5, jnp.copysign(damping, -1.0), damping)
+
+
+def _unpack_aux(aux):
+    """(solid_bool, damp) from a packed aux tile, bit-exactly."""
+    solid = jax.lax.bitcast_convert_type(aux, jnp.int32) < 0
+    return solid, jnp.abs(aux)
+
+
 def supports(p: CaseParams) -> bool:
     """True if the fused kernel implements this BC layout (all sides active:
     the in-kernel BCs rewrite the whole global ring each step)."""
@@ -129,13 +147,16 @@ def _pick_split_tiles(h: int, w: int):
     budget = 13 * 1024 * 1024 // 4  # floats (13MB of the 16MB core)
     wp128 = _round_up(w, 128)
     bw, px = wp128, 0
-    # lane-roll streaming (px == 0) holds ~19 planes/row; halo-slice
-    # streaming (px > 0) relayouts the shifted column reads, ~33 (measured)
-    planes = 19 if px == 0 else 33
-    # cap at 96, not 128: BH=96 ties BH=128 at 1024^2 (9391 vs 9432 MLUPS)
-    # and 128 sits exactly at the 16MB scoped-VMEM edge -- programs that
-    # inline several chunk calls (the fused batch runner) tip over by ~76KB
-    bh = min(96, _round_up(h, 16))
+    # lane-roll streaming (px == 0) holds ~18 planes/row (19 before the
+    # packed aux plane); halo-slice streaming (px > 0) relayouts the shifted
+    # column reads, ~32 (measured)
+    planes = 18 if px == 0 else 32
+    # cap 128: with the single packed-aux blocked input (saves 2 pipeline
+    # buffers, ~1MB at BH=128) 128-row bands fit scoped VMEM even in
+    # programs that inline several chunk calls (the fused batch runner);
+    # when H is a multiple of 128 this also removes the garbage pad rows
+    # that BH=96 forces (Hp 1056 -> 1024)
+    bh = min(128, _round_up(h, 16))
     while bh > 16 and (planes * bh + 4 * PY * 9) * (bw + 2 * px) > budget:
         bh -= 16
     return max(16, bh), bw, px
@@ -322,8 +343,7 @@ def _step_kernel(
     h_lo_ref,  # VMEM (9, 8, Wp) row 0 = low-side halo row, or None
     h_hi_ref,  # VMEM (9, 8, Wp) row 0 = high-side halo row, or None
     fp_hbm,  # HBM [9, Hp + 2*PY, Wp]
-    damp_ref,  # VMEM (BH, Wp) -- auto-pipelined blocked input
-    mask_ref,  # VMEM (BH, Wp) -- auto-pipelined blocked input
+    aux_ref,  # VMEM (BH, Wp) -- packed damp+mask (pack_aux), auto-pipelined
     fp_new_hbm,  # HBM [9, Hp + 2*PY, Wp] (manual aligned DMA)
     rho_ref,  # VMEM (BH, Wp) or None (fast)
     u_ref,  # VMEM (2, BH, Wp) or None (fast)
@@ -386,8 +406,9 @@ def _step_kernel(
                     scratch_in[:, r, :] = ref_[:, 0, :]
 
     fs = _stream_band(scratch_in, BH, BW, PX)
+    solid, damp = _unpack_aux(aux_ref[:])
     f_post, rho, ux, uy = mrt_collide_arrays(
-        fs, damp_ref[:], scal_ref[0, _S_TAU0], scal_ref[0, _S_CSF],
+        fs, damp, scal_ref[0, _S_TAU0], scal_ref[0, _S_CSF],
         scal_ref[0, _S_SG], use_les,
     )
     if f_post_ref is not None:
@@ -416,23 +437,43 @@ def _step_kernel(
             j_rt = (WL - 1) // BW
             c0 = (WL - 128) - j_rt * BW  # right strip's tile-local col
 
-            @pl.when(j == 0)
-            def _():
-                s_ec[:] = mac[:, :, 0:128]
-                c = pltpu.make_async_copy(
-                    s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(0, 128)], sem_out
-                )
-                c.start()
-                c.wait()
+            if j_rt == 0:
+                # single column tile (every hardware split geometry): pack
+                # both sides into ONE 128-lane plane -- lanes 0..63 = left
+                # cols 0..63, lanes 64..127 = right cols W-64..W-1 (the BC
+                # only reads cols 0/1 and W-2/W-1) -- halving the export
+                # traffic (~3.2 MB/step saved at 1024^2)
+                @pl.when(j == 0)
+                def _():
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (BH, 128), 1)
+                    s_ec[:] = jnp.where(
+                        lane[None] < 64, mac[:, :, 0:128], mac[:, :, c0 : c0 + 128]
+                    )
+                    c = pltpu.make_async_copy(
+                        s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(0, 128)], sem_out
+                    )
+                    c.start()
+                    c.wait()
 
-            @pl.when(j == j_rt)
-            def _():
-                s_ec[:] = mac[:, :, c0 : c0 + 128]
-                c = pltpu.make_async_copy(
-                    s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(128, 128)], sem_out
-                )
-                c.start()
-                c.wait()
+            else:
+
+                @pl.when(j == 0)
+                def _():
+                    s_ec[:] = mac[:, :, 0:128]
+                    c = pltpu.make_async_copy(
+                        s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(0, 128)], sem_out
+                    )
+                    c.start()
+                    c.wait()
+
+                @pl.when(j == j_rt)
+                def _():
+                    s_ec[:] = mac[:, :, c0 : c0 + 128]
+                    c = pltpu.make_async_copy(
+                        s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(128, 128)], sem_out
+                    )
+                    c.start()
+                    c.wait()
 
             # edge rows span every column tile: each writes its x-part
             @pl.when(i == 0)
@@ -457,7 +498,6 @@ def _step_kernel(
 
     # obstacle equilibrium overwrite, after the BCs exactly like the
     # reference (apply_bc tail, LBM2D_MRT_LES.py:452-455)
-    solid = mask_ref[:] > 0.5
     f_eq_rest = jnp.stack([rho * float(W[k]) for k in range(9)])
 
     scratch_out[:] = jnp.where(solid[None], f_eq_rest, f_new)
@@ -480,14 +520,15 @@ def _step_kernel(
     static_argnames=("dims", "use_les", "bc_type", "full", "interpret", "apply_bc"),
 )
 def _pallas_step(
-    fp, damping_p, mask_p, scalars, offs, h_lo, h_hi, dims, use_les, bc_type,
+    fp, aux_p, scalars, offs, h_lo, h_hi, dims, use_les, bc_type,
     full, interpret, apply_bc=True,
 ):
     """One fused lattice update. dims = (Hg, Wg, HL, WL, Hp, Wp, BH, BW, PX);
     single-chip passes HL == Hg, WL == Wg and offs None; the sharded path
     passes this device's block dims + its global (y_off, x_off) as offs.
-    h_lo/h_hi optionally carry 1-row neighbor halos ([9, 8, Wp], row 0) that
-    the kernel patches into its load window (rows-only decomposition)."""
+    ``aux_p`` is the packed damp+mask plane (pack_aux). h_lo/h_hi optionally
+    carry 1-row neighbor halos ([9, 8, Wp], row 0) that the kernel patches
+    into its load window (rows-only decomposition)."""
     Hg, Wg, HL, WL, Hp, Wp, BH, BW, PX = dims
     dtype = fp.dtype
     grid = (Hp // BH, Wp // BW)
@@ -498,8 +539,11 @@ def _pallas_step(
     out_shape = [jax.ShapeDtypeStruct(fp.shape, dtype)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if export:
+        # single-column-tile grids pack both sides' macro strips into one
+        # 128-lane plane (see _step_kernel export block)
+        ec_w = 128 if (WL - 1) // BW == 0 else 256
         out_shape += [
-            jax.ShapeDtypeStruct((3, Hp, 256), dtype),
+            jax.ShapeDtypeStruct((3, Hp, ec_w), dtype),
             jax.ShapeDtypeStruct((3, 16, Wp), dtype),
         ]
         out_specs += [
@@ -532,7 +576,7 @@ def _pallas_step(
         offs_r = next(it) if sharded else None
         hlo = next(it) if halo else None
         hhi = next(it) if halo else None
-        fh, dmp, msk, fn = next(it), next(it), next(it), next(it)
+        fh, aux, fn = next(it), next(it), next(it)
         ec = next(it) if export else None
         er = next(it) if export else None
         rho = next(it) if full else None
@@ -543,7 +587,7 @@ def _pallas_step(
         s_er = next(it) if export else None
         sin, sout = next(it), next(it)
         _step_kernel(
-            scal, offs_r, hlo, hhi, fh, dmp, msk, fn, rho, u, fpost, ec, er,
+            scal, offs_r, hlo, hhi, fh, aux, fn, rho, u, fpost, ec, er,
             s_in, s_out, s_ec, s_er, sin, sout, **dims_kw,
         )
 
@@ -561,9 +605,8 @@ def _pallas_step(
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.HBM),
         pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
     ]
-    args += [fp, damping_p, mask_p]
+    args += [fp, aux_p]
 
     outs = pl.pallas_call(
         kernel,
@@ -596,18 +639,18 @@ def _edge_bc_kernel(
     scal_ref,  # SMEM (1, 14)
     offs_ref,  # SMEM (1, 2) int32 shard origin (y_off, x_off), or None
     fp_hbm,  # HBM [9, Hp + 2*PY, Wp] -- aliased with fp_out_hbm
-    mask_hbm,  # HBM [Hp, Wp]
-    ec_hbm,  # HBM (3, Hp, 256) collide rho/ux/uy on the edge column strips
+    aux_hbm,  # HBM [Hp, Wp] packed damp+mask (pack_aux; only the sign bit used)
+    ec_hbm,  # HBM (3, Hp, 128|256) collide rho/ux/uy on the edge col strips
     er_in_hbm,  # HBM (3, 16, Wp) collide macros on rows 0..7 / H-8..H-1
     fp_out_hbm,  # HBM, SAME buffer as fp_hbm (input_output_aliases)
-    er_hbm,  # HBM, SAME buffer as er_in_hbm (corner cells updated in place)
+    er_hbm,  # HBM, SAME buffer as er_in_hbm (corner lanes merged in place)
     s_col,  # VMEM (9, CH, 128)
     s_rows,  # VMEM (9, 8, Wp)
     s_mc,  # VMEM (3, CH, 128) macro strip
     s_mr,  # VMEM (3, 8, Wp) macro rows
-    m_col,  # VMEM (CH, 128)
-    m_rows,  # VMEM (8, Wp)
-    s_fix,  # VMEM (3, 8, 128) corner macro write-back staging
+    m_col,  # VMEM (CH, 128) aux strip
+    m_rows,  # VMEM (8, Wp) aux rows
+    s_fix,  # VMEM (2, 3, 8, 128) corner er staging (bottom, top)
     sem_a,
     sem_b,
     sem_c,
@@ -634,8 +677,11 @@ def _edge_bc_kernel(
 
     The corner dependency (a bottom/top corner reads its inward neighbor's
     macros AFTER the left/right BC changed them) is honored by having the
-    first/last column chunks write their merged macro rows back into er_hbm
-    before the row programs read it -- TPU grid programs run sequentially.
+    first/last column chunks merge their BC edge lane into er_hbm before the
+    row programs read it -- TPU grid programs run sequentially. The er
+    windows are PREFETCHED with the main copies (a mid-program read-wait
+    measured ~3us/step; a row-program recompute of the corner macros
+    measured ~3us more than that).
 
     Grid: [0, nch) left column chunks, [nch, 2*nch) right column chunks,
     2*nch bottom rows, 2*nch + 1 top rows. Only ~ (2*H*128 + 16*W) cells
@@ -653,10 +699,28 @@ def _edge_bc_kernel(
 
     def col_program(c, left):
         x0 = PXs + (0 if left else W_ - 128)  # buffer col (incl. x-halo pad)
-        lane0 = 0 if left else 128  # lane block inside ec
+        # combined ec layout (single-column-tile exports): both sides live in
+        # one 128-lane plane -- left cols 0..63 in lanes 0..63, right cols
+        # W-64..W-1 in lanes 64..127, so col W-1 sits at lane 127 and its
+        # neighbor W-2 at lane 126 exactly like the legacy 256-lane layout
+        combined = ec_hbm.shape[2] == 128
+        lane0 = 0 if (left or combined) else 128  # lane block inside ec
         # the last chunk is clamped so the window stays inside the real rows
         # (re-running BC on overlapped rows is idempotent)
         g0 = min(c * CH, H8 - CH)
+        # er windows this chunk must corner-thread (bottom and/or top rows);
+        # prefetched WITH the main copies so the read latency is hidden
+        er_hits = [
+            (idx, e0_, r0_)
+            for idx, (hit, e0_, r0_) in enumerate(
+                ((g0 == 0, 0, 0), (g0 + CH >= H, 8, H - 8 - g0))
+            )
+            if hit
+        ]
+        er_wins = {
+            e0_: er_hbm.at[:, pl.ds(e0_, 8), pl.ds(x0 - PXs, 128)]
+            for _, e0_, _ in er_hits
+        }
         copies = [
             # read through the OUTPUT ref: with aliasing it is the same HBM
             # buffer, and later programs must see earlier programs' stores
@@ -667,11 +731,14 @@ def _edge_bc_kernel(
                 s_col, sem_a,
             ),
             pltpu.make_async_copy(
-                mask_hbm.at[pl.ds(g0, CH), pl.ds(x0 - PXs, 128)], m_col, sem_b
+                aux_hbm.at[pl.ds(g0, CH), pl.ds(x0 - PXs, 128)], m_col, sem_b
             ),
             pltpu.make_async_copy(
                 ec_hbm.at[:, pl.ds(g0, CH), pl.ds(lane0, 128)], s_mc, sem_c
             ),
+        ] + [
+            pltpu.make_async_copy(er_wins[e0_], s_fix.at[idx], sem_c)
+            for idx, e0_, _ in er_hits
         ]
         for cp in copies:
             cp.start()
@@ -704,7 +771,12 @@ def _edge_bc_kernel(
         ux = jnp.where(m, ux_b, ux)
         uy = jnp.where(m, uy_b, uy)
 
-        solid = m_col[:] > 0.5
+        # obstacle overwrite, restricted to the edge lane: only there did
+        # the BC change rho (elsewhere the main kernel already wrote the
+        # identical f_eq, and with the combined ec layout the non-edge lanes
+        # of mac belong to the OTHER side)
+        solid, _ = _unpack_aux(m_col[:])
+        solid = solid & (col_ids == (0 if left else 127))
         f_eq_rest = jnp.stack([rho * wk for wk in w9])
         s_col[:] = jnp.where(solid[None], f_eq_rest, f)
         store = pltpu.make_async_copy(
@@ -712,25 +784,25 @@ def _edge_bc_kernel(
         )
         store.start()
 
-        # corner threading: chunks holding the bottom/top edge rows write
-        # their merged macros back so the row programs see post-BC values
+        # corner threading: merge this side's BC-changed edge lane into er so
+        # the row programs (which run after, sequentially) see post-BC
+        # macros at the corners' inward neighbors. Merge, not overwrite: with
+        # the combined ec layout only the edge lane of mac carries this
+        # side's macros; the other 127 lanes keep er's prefetched values.
         mac2 = jnp.stack([rho, ux, uy])
-        if g0 == 0:
-            s_fix[:] = mac2[:, 0:8, :]
-            cfix = pltpu.make_async_copy(
-                s_fix, er_hbm.at[:, pl.ds(0, 8), pl.ds(x0 - PXs, 128)], sem_c
+        fix_lane = 0 if left else 127
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        fix_writes = []
+        for idx, e0_, r0_ in er_hits:
+            s_fix[idx] = jnp.where(
+                lane8[None] == fix_lane, mac2[:, r0_ : r0_ + 8, :], s_fix[idx]
             )
-            cfix.start()
-            cfix.wait()
-        if g0 + CH >= H:
-            r_t = H - 8 - g0
-            s_fix[:] = mac2[:, r_t : r_t + 8, :]
-            cfix = pltpu.make_async_copy(
-                s_fix, er_hbm.at[:, pl.ds(8, 8), pl.ds(x0 - PXs, 128)], sem_c
-            )
-            cfix.start()
-            cfix.wait()
+            wfix = pltpu.make_async_copy(s_fix.at[idx], er_wins[e0_], sem_c)
+            wfix.start()
+            fix_writes.append(wfix)
         store.wait()
+        for wfix in fix_writes:
+            wfix.wait()
 
     def row_program(top):
         # bottom: padded rows [PY, PY+8) = global 0..7, edge local 0, nb 1
@@ -745,7 +817,7 @@ def _edge_bc_kernel(
                 fp_out_hbm.at[:, pl.ds(r0, 8), pl.ds(PXs, Wp)], s_rows, sem_a
             ),
             pltpu.make_async_copy(
-                mask_hbm.at[pl.ds(g0, 8), pl.ds(0, Wp)], m_rows, sem_b
+                aux_hbm.at[pl.ds(g0, 8), pl.ds(0, Wp)], m_rows, sem_b
             ),
             pltpu.make_async_copy(
                 er_hbm.at[:, pl.ds(e0, 8), pl.ds(0, Wp)], s_mr, sem_c
@@ -773,7 +845,7 @@ def _edge_bc_kernel(
         f = jnp.where(m[None], fb[:, None, :], f)
         rho = jnp.where(m, rho_b[None, :], mac[0])
 
-        solid = m_rows[:] > 0.5
+        solid, _ = _unpack_aux(m_rows[:])
         f_eq_rest = jnp.stack([rho * wk for wk in w9])
         s_rows[:] = jnp.where(solid[None], f_eq_rest, f)
         store = pltpu.make_async_copy(
@@ -813,7 +885,7 @@ def _edge_bc_kernel(
     jax.jit, static_argnames=("edims", "bc_type", "interpret")
 )
 def _edge_bc_step(
-    fp, mask_p, ec, er, scalars, edims, bc_type, interpret, offs=None
+    fp, aux_p, ec, er, scalars, edims, bc_type, interpret, offs=None
 ):
     """Apply the boundary ring in place on the padded buffer (aliased I/O).
     edims = (H, W, Hp, Wp, PXs, Hg) with H the LOCAL block height and Hg the
@@ -869,13 +941,13 @@ def _edge_bc_step(
             pltpu.VMEM((3, 8, Wp), dtype),
             pltpu.VMEM((CH, 128), dtype),
             pltpu.VMEM((8, Wp), dtype),
-            pltpu.VMEM((3, 8, 128), dtype),
+            pltpu.VMEM((2, 3, 8, 128), dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(*args, fp, mask_p, ec, er)
+    )(*args, fp, aux_p, ec, er)
     return out
 
 
@@ -958,8 +1030,8 @@ def run_chunk_pallas(
     fp = jnp.pad(
         state.f, ((0, 0), (PY, PY + (Hp - H)), (PX_s, PX_s + (Wp_s - W_)))
     )
-    damping_s = jnp.pad(p.damping, ((0, Hp - H), (0, Wp_s - W_)))
-    mask_s = jnp.pad(p.mask, ((0, Hp - H), (0, Wp_s - W_)))
+    aux = pack_aux(p.damping, p.mask)
+    aux_s = jnp.pad(aux, ((0, Hp - H), (0, Wp_s - W_)))
 
     def fast_body(carry, _):
         fp, step = carry
@@ -967,15 +1039,15 @@ def run_chunk_pallas(
         scal = _scalars(p, step, dtype)
         if split_bc:
             fp_new, ec, er = _pallas_step(
-                fp, damping_s, mask_s, scal, None, None, None, dims_fast,
+                fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, False,
             )
             fp_new = _edge_bc_step(
-                fp_new, mask_s, ec, er, scal, edims, p.bc_type, interpret
+                fp_new, aux_s, ec, er, scal, edims, p.bc_type, interpret
             )
         else:
             (fp_new,) = _pallas_step(
-                fp, damping_s, mask_s, scal, None, None, None, dims_fast,
+                fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, True,
             )
         return (fp_new, step), None
@@ -992,12 +1064,11 @@ def run_chunk_pallas(
             fp[:, :, PX_s : PX_s + W_], ((0, 0), (0, 0), (PX, PX + (Wp - W_)))
         )
     if (Wp_s - W_) != (Wp - W_) or PX_s != PX:
-        damping_p = jnp.pad(p.damping, ((0, Hp - H), (0, Wp - W_)))
-        mask_p = jnp.pad(p.mask, ((0, Hp - H), (0, Wp - W_)))
+        aux_p = jnp.pad(aux, ((0, Hp - H), (0, Wp - W_)))
     else:
-        damping_p, mask_p = damping_s, mask_s
+        aux_p = aux_s
     fp, rho_p, u_p, fpost_p = _pallas_step(
-        fp, damping_p, mask_p, scal, None, None, None, dims_full,
+        fp, aux_p, scal, None, None, None, dims_full,
         p.use_les, p.bc_type, True, interpret,
     )
 

@@ -278,6 +278,7 @@ def run_chunk_sharded_pallas(
         _pick_split_tiles,
         _round_up,
         _scalars,
+        pack_aux,
         supports,
     )
 
@@ -327,8 +328,9 @@ def run_chunk_sharded_pallas(
         fp = jnp.pad(
             state_l.f, ((0, 0), (PY, PY + Hp - hl), (PXs, PXs + Wp - wl))
         )
-        damping_b = jnp.pad(p_l.damping, ((0, Hp - hl), (0, Wp - wl)))
-        mask_b = jnp.pad(p_l.mask, ((0, Hp - hl), (0, Wp - wl)))
+        aux_b = jnp.pad(
+            pack_aux(p_l.damping, p_l.mask), ((0, Hp - hl), (0, Wp - wl))
+        )
 
         def halo_rows(fp):
             """1-row neighbor halos as [9, 8, Wp] kernel inputs (row 0).
@@ -352,16 +354,16 @@ def run_chunk_sharded_pallas(
                 # band kernel without BCs (needs no shard origin) + edge
                 # kernel gated by the shard origin
                 fp_new, ec, er = _pallas_step(
-                    fp, damping_b, mask_b, scal, None, h_lo, h_hi, dims,
+                    fp, aux_b, scal, None, h_lo, h_hi, dims,
                     p_l.use_les, p_l.bc_type, False, interpret, False,
                 )
                 fp_new = _edge_bc_step(
-                    fp_new, mask_b, ec, er, scal, edims, p_l.bc_type,
+                    fp_new, aux_b, ec, er, scal, edims, p_l.bc_type,
                     interpret, offs=offs,
                 )
                 return (fp_new,)
             return _pallas_step(
-                fp, damping_b, mask_b, scal, offs, h_lo, h_hi, dims,
+                fp, aux_b, scal, offs, h_lo, h_hi, dims,
                 p_l.use_les, p_l.bc_type, full, interpret,
             )
 
