@@ -33,14 +33,21 @@ def main() -> None:
         # wait for execution; a scalar device-to-host read does.
         return float(np.asarray(x["max_v"]))
 
-    # warmup + compile
-    state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
+    # warmup: compile AND reach steady clocks -- a cold chip measures ~6%
+    # slower for the first ~2000 steps (9.1k vs 9.7k+ MLUPS), so the warmup
+    # must be sustained load, not just one compile pass
+    for _ in range(4):
+        state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
     sync(mon)
 
     # (an all-chunks-in-one-jit variant -- lax.scan over run_chunk calls --
     # measured 732 MLUPS: XLA schedules the nested scan pathologically, so
     # the host loop stays; its ~2ms/dispatch tunnel latency is included)
-    n_chunks = 4
+    # 20 chunks (10k steps, ~1s device time): the one final device-to-host
+    # monitor sync costs ~15ms through the tunnel and the async-dispatch
+    # pipeline needs a few chunks to fill -- short windows amortize those
+    # poorly and under-read the kernel by ~5-10%
+    n_chunks = 20
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
@@ -50,6 +57,19 @@ def main() -> None:
     total_steps = n_chunks * steps_per_chunk
     mlups = nx * ny * total_steps / dt / 1e6
     assert bool(np.isfinite(mon["max_v"])), "simulation diverged during bench"
+
+    # accuracy guard: the perf artifact must also certify physics -- the
+    # Pallas path must match the jnp/XLA reference update (itself pinned to
+    # the scalar oracle of the Taichi reference at 1e-12 in f64,
+    # tests/test_core_vs_oracle.py) to the BASELINE 1e-5 moment tolerance
+    from lbm2d_tpu.core.solver import run_chunk as run_chunk_jnp
+
+    s0 = init_state(ny, nx)
+    sp, _ = run_chunk(s0, p, n_steps=40)
+    sj, _ = run_chunk_jnp(s0, p, n_steps=40)
+    f_p, f_j = np.asarray(sp.f), np.asarray(sj.f)
+    rel = np.max(np.abs(f_p - f_j)) / max(np.max(np.abs(f_j)), 1e-30)
+    assert rel < 1e-5, f"Pallas/jnp mismatch: rel={rel:.3e} (tolerance 1e-5)"
 
     print(
         json.dumps(

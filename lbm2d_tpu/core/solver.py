@@ -50,8 +50,13 @@ SIDE_LEFT, SIDE_TOP, SIDE_RIGHT, SIDE_BOTTOM = 0, 1, 2, 3
 
 # BC type codes (master_config.yaml:92): 0 = inlet (Zou-He pressure on the
 # left edge, velocity inlet elsewhere), 1 = Zou-He pressure outlet (right
-# edge only), 2 = free-slip.
-BC_INLET, BC_OUTLET, BC_FREE_SLIP = 0, 1, 2
+# edge only), 2 = free-slip.  Type 3 is NEW in this framework (the reference
+# carries the helper but never wires it up, LBM2D_MRT_LES.py:580-586): a
+# prescribed-velocity equilibrium inlet on the left edge whose per-row
+# profile is CaseParams.inlet_profile (parabolic for DFG benchmarks),
+# applied like the archive velocity-inlet solver (archive/lbm_mrt/
+# solver.py:246-257: rho = 1, u = profile, f = f_eq(1, u)).
+BC_INLET, BC_OUTLET, BC_FREE_SLIP, BC_VEL_INLET = 0, 1, 2, 3
 
 
 @struct.dataclass
@@ -67,11 +72,19 @@ class CaseParams:
     rho_out: jnp.ndarray  # scalar f32
     warmup_steps: jnp.ndarray  # scalar f32 (ramp denominator)
     bc_value: jnp.ndarray  # [4, 2] f32 velocity-inlet values
+    # [H] per-row inlet velocity profile (BC_VEL_INLET left edge); None
+    # otherwise.  Built by make_params (parabolic, LBM2D_MRT_LES.py:580-586).
+    inlet_profile: Optional[jnp.ndarray] = None
     # --- static (part of the jit cache key) ---
     use_les: bool = struct.field(pytree_node=False, default=True)
     bc_type: Tuple[int, int, int, int] = struct.field(
         pytree_node=False, default=(BC_INLET, BC_FREE_SLIP, BC_OUTLET, BC_FREE_SLIP)
     )
+    # Solid-cell treatment: False = equilibrium overwrite f <- f_eq(rho, 0)
+    # (reference apply_bc tail, LBM2D_MRT_LES.py:452-455); True = full-way
+    # bounce-back f_new <- streamed f reversed (archive/lbm_mrt/
+    # solver.py:181-195) -- the no-slip variant DFG validation needs.
+    bounce_obstacle: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):
@@ -129,6 +142,21 @@ def make_params(
                 "not supported (reference applies it only at two corner cells; "
                 "use 2 = free-slip or 0 = velocity inlet)"
             )
+    for side in (1, 2, 3):
+        if bc_types[side] == BC_VEL_INLET:
+            raise ValueError(
+                "boundary_condition.type=3 (profiled velocity inlet) is only "
+                "supported on the left edge"
+            )
+    inlet_profile = None
+    if bc_types[SIDE_LEFT] == BC_VEL_INLET:
+        u_max = float(np.asarray(bc["value"], np.float32)[SIDE_LEFT][0])
+        inlet_profile = jnp.asarray(
+            parabolic_profile(ny, u_max, np.float64), dtype
+        )
+    obstacle = str(bc.get("obstacle", "equilibrium"))
+    if obstacle not in ("equilibrium", "bounce_back"):
+        raise ValueError(f"unknown boundary_condition.obstacle {obstacle!r}")
     c_smag = float(sim["smagorinsky_constant"])
     return CaseParams(
         mask=jnp.asarray(mask, dtype),
@@ -140,9 +168,23 @@ def make_params(
         rho_out=jnp.asarray(float(sim["rho_out"]), dtype),
         warmup_steps=jnp.asarray(float(sim["warmup_steps"]), dtype),
         bc_value=jnp.asarray(np.asarray(bc["value"], np.float32), dtype),
+        inlet_profile=inlet_profile,
         use_les=c_smag > 0.001,
         bc_type=tuple(bc_types),
+        bounce_obstacle=obstacle == "bounce_back",
     )
+
+
+def parabolic_profile(ny: int, u_max: float, dtype=np.float64) -> np.ndarray:
+    """Parabolic (Poiseuille) inlet profile over rows 0..ny-1 -> [ny].
+
+    u(y) = 4 u_max y (h - y) / h^2 with h = ny - 1: the DFG benchmark inlet
+    the reference defines but never wires up (get_parabolic_inlet_velocity,
+    LBM2D_MRT_LES.py:580-586).
+    """
+    y = np.arange(ny, dtype=dtype)
+    h = dtype(ny - 1)
+    return (4.0 * dtype(u_max) * y * (h - y) / (h * h)).astype(dtype)
 
 
 def init_state(ny: int, nx: int, dtype=jnp.float32) -> LBMState:
@@ -306,7 +348,17 @@ def mrt_collide(fs: jnp.ndarray, p: CaseParams, damping: jnp.ndarray = None):
 
 def collide_stream_full(f: jnp.ndarray, p: CaseParams):
     """Fused pull-stream + MRT-LES collision over the full grid (jnp path)."""
-    return mrt_collide(pull_stream(f), p)
+    fs = pull_stream(f)
+    f_post, rho, ux, uy = mrt_collide(fs, p)
+    if p.bounce_obstacle:
+        # Full-way bounce-back replaces collision on solid cells: the
+        # streamed-in populations leave reversed next step (archive/lbm_mrt/
+        # solver.py:181-195).  Macro fields on solid cells are zeroed by
+        # _apply_obstacle afterwards.
+        solid = p.mask > 0.5
+        f_bb = jnp.stack([fs[int(OPP[k])] for k in range(9)])
+        f_post = jnp.where(solid[None], f_bb, f_post)
+    return f_post, rho, ux, uy
 
 
 # ---------------------------------------------------------------------------
@@ -319,13 +371,22 @@ def _feq_cols(rho, ux, uy):
     return f_eq(rho, ux, uy)
 
 
-def bc_left_values(fn, rho_nb, uxn, uyn, ramp, t, rho_in):
+def bc_left_values(fn, rho_nb, uxn, uyn, ramp, t, rho_in, u_prof=None):
     """West-edge BC values from the neighbor strip; None if no-op.
 
-    ``t`` is the static bc type, ``rho_in`` the (traced) target density.
+    ``t`` is the static bc type, ``rho_in`` the (traced) target density,
+    ``u_prof`` the per-row velocity profile (BC_VEL_INLET only).
     Returns (fb, rho_b, ux_b, uy_b), each [9, N] / [N].
     """
     dtype = fn.dtype
+    if t == BC_VEL_INLET:
+        # Prescribed-velocity equilibrium inlet (archive/lbm_mrt/
+        # solver.py:246-257): rho = 1, u = ramped profile, f = f_eq(1, u).
+        ux = u_prof.astype(dtype) * ramp
+        uy = jnp.zeros_like(ux)
+        rho_b = jnp.ones_like(rho_nb)
+        fb = f_eq_unit_x(ux)  # == f_eq(rho=1, ux, 0)
+        return fb, rho_b, ux, uy
     if t == BC_INLET:
         # Zou-He pressure inlet using the *neighbor's* post-stream f
         # (LBM2D_MRT_LES.py:460-486), with warmup-ramped target density.
@@ -418,9 +479,10 @@ def bc_horizontal_values(fn, rho_nb, uxn, uyn, ramp, t, bc_val):
 
 def _apply_left(f, rho, u, ramp, p: CaseParams):
     """West edge x=0, rows y=1..ny-2, neighbor x=1."""
+    prof = None if p.inlet_profile is None else p.inlet_profile[1:-1]
     vals = bc_left_values(
         f[:, 1:-1, 1], rho[1:-1, 1], u[0, 1:-1, 1], u[1, 1:-1, 1], ramp,
-        p.bc_type[SIDE_LEFT], p.rho_in,
+        p.bc_type[SIDE_LEFT], p.rho_in, u_prof=prof,
     )
     if vals is None:
         return f, rho, u
@@ -466,10 +528,16 @@ def _apply_horizontal(f, rho, u, ramp, p: CaseParams, side: int):
 
 
 def _apply_obstacle(f, rho, u, p: CaseParams):
-    """mask==1 cells: u <- 0, f <- f_eq(rho, 0) = w_k rho (:452-455)."""
+    """mask==1 cells: u <- 0, f <- f_eq(rho, 0) = w_k rho (:452-455).
+
+    In bounce_obstacle mode f was already replaced by the reversed streamed
+    populations inside the collide (collide_stream_full); only the macro
+    no-slip zeroing remains here.
+    """
     solid = p.mask > 0.5
-    w9 = jnp.asarray(W, f.dtype).reshape(9, 1, 1)
-    f = jnp.where(solid[None], w9 * rho[None], f)
+    if not p.bounce_obstacle:
+        w9 = jnp.asarray(W, f.dtype).reshape(9, 1, 1)
+        f = jnp.where(solid[None], w9 * rho[None], f)
     u = jnp.where(solid[None], jnp.zeros_like(u), u)
     return f, rho, u
 

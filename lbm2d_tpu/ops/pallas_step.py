@@ -85,13 +85,16 @@ def _unpack_aux(aux):
 
 def supports(p: CaseParams) -> bool:
     """True if the fused kernel implements this BC layout (all sides active:
-    the in-kernel BCs rewrite the whole global ring each step)."""
+    the in-kernel BCs rewrite the whole global ring each step).  The DFG
+    validation modes (profiled velocity inlet, bounce-back obstacles) fall
+    back to the jnp path."""
     lt, tt, rt, bt = p.bc_type
     return (
         lt in (BC_INLET, BC_FREE_SLIP)
         and rt in (BC_INLET, BC_OUTLET, BC_FREE_SLIP)
         and tt in (BC_INLET, BC_FREE_SLIP)
         and bt in (BC_INLET, BC_FREE_SLIP)
+        and not p.bounce_obstacle
     )
 
 

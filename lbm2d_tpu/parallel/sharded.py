@@ -25,7 +25,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..core.lattice import W, PI_REF, f_eq
+from ..core.lattice import OPP, W, PI_REF, f_eq
 from ..core.solver import (
     BC_FREE_SLIP,
     BC_INLET,
@@ -111,7 +111,7 @@ def _sharded_apply_bc(f, rho, u, step, p: CaseParams, ny: int, nx: int):
     # -- left edge (global x == 0), neighbor x == 1 ---------------------------
     vals = bc_left_values(
         f[:, :, 1], rho[:, 1], u[0, :, 1], u[1, :, 1], ramp,
-        p.bc_type[0], p.rho_in,
+        p.bc_type[0], p.rho_in, u_prof=p.inlet_profile,
     )
     if vals is not None:
         fb, rho_b, ux_b, uy_b = vals
@@ -143,10 +143,11 @@ def _sharded_apply_bc(f, rho, u, step, p: CaseParams, ny: int, nx: int):
         sel = jnp.broadcast_to(jnp.asarray(on_edge), (w,))
         f, rho, u = set_row(f, rho, u, row, fb, rho_b, ux_b, uy_b, sel)
 
-    # -- obstacles ------------------------------------------------------------
+    # -- obstacles (bounce mode handled in the collide, like solver) ----------
     solid = p.mask > 0.5
-    w9 = jnp.asarray(W, dtype).reshape(9, 1, 1)
-    f = jnp.where(solid[None], w9 * rho[None], f)
+    if not p.bounce_obstacle:
+        w9 = jnp.asarray(W, dtype).reshape(9, 1, 1)
+        f = jnp.where(solid[None], w9 * rho[None], f)
     u = jnp.where(solid[None], jnp.zeros_like(u), u)
     return f, rho, u
 
@@ -167,6 +168,10 @@ def make_local_step(mesh, ny: int, nx: int):
         f_halo = exchange_halo_f(state.f, mesh)
         fs = pull_stream_halo(f_halo)
         f_c, rho_c, ux_c, uy_c = mrt_collide(fs, p, damping=p.damping)
+        if p.bounce_obstacle:
+            solid_c = p.mask > 0.5
+            f_bb = jnp.stack([fs[int(OPP[k])] for k in range(9)])
+            f_c = jnp.where(solid_c[None], f_bb, f_c)
 
         f_post = jnp.where(interior[None], f_c, state.f_post)
         f = jnp.where(interior[None], f_c, state.f)

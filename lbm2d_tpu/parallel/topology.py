@@ -72,6 +72,8 @@ def params_specs(p=None):
         bc_value=P(),
     )
     if p is not None:
+        if p.inlet_profile is not None:
+            specs["inlet_profile"] = P(AXIS_Y)  # [H] row profile
         return p.replace(**specs)
     return CaseParams(**specs)
 

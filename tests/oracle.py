@@ -50,6 +50,17 @@ class OracleLBM:
         self.warmup = sim["warmup_steps"]
         self.bc_type = list(cfg["boundary_condition"]["type"])
         self.bc_value = np.array(cfg["boundary_condition"]["value"], dtype=np.float64)
+        # DFG validation modes (framework extensions; archive/lbm_mrt spec)
+        self.bounce = (
+            cfg["boundary_condition"].get("obstacle", "equilibrium")
+            == "bounce_back"
+        )
+        if self.bc_type[0] == 3:
+            u_max = float(self.bc_value[0][0])
+            h = float(self.ny - 1)
+            self.prof = np.array(
+                [4.0 * u_max * j * (h - j) / (h * h) for j in range(self.ny)]
+            )
         z = cfg["domain_zones"]
         self.w_in = max(1, z["sponge_in"])
         self.w_out = max(1, z["sponge_out"])
@@ -115,6 +126,11 @@ class OracleLBM:
                 ft = np.empty(9)
                 for k in range(9):
                     ft[k] = self.f_old[i - E[k, 0], j - E[k, 1], k]
+                if self.bounce and self.mask[i, j] == 1.0:
+                    # full-way bounce-back: streamed-in populations leave
+                    # reversed (archive/lbm_mrt/solver.py:181-195)
+                    self.f_new[i, j] = ft[[0, 3, 4, 1, 2, 7, 8, 5, 6]]
+                    continue
                 m = M @ ft
                 rho = m[0]
                 u = v = 0.0
@@ -145,7 +161,13 @@ class OracleLBM:
 
     def _bc_core(self, dr, ibc, jbc, inb, jnb, ramp):
         t = self.bc_type[dr]
-        if t == 0:
+        if t == 3 and ibc == 0:
+            # profiled-velocity equilibrium inlet (archive/lbm_mrt/
+            # solver.py:246-257): rho = 1, u = ramped profile, f = f_eq
+            self.rho[ibc, jbc] = 1.0
+            self.vel[ibc, jbc] = (self.prof[jbc] * ramp, 0.0)
+            self.f_old[ibc, jbc] = self._feq(ibc, jbc)
+        elif t == 0:
             if ibc == 0:
                 rho_c = 1.0 + (self.rho_in - 1.0) * ramp
                 fo = self.f_old[inb, jnb]
@@ -208,7 +230,8 @@ class OracleLBM:
             for j in range(self.ny):
                 if self.mask[i, j] == 1.0:
                     self.vel[i, j] = 0.0
-                    self.f_old[i, j] = self._feq(i, j)
+                    if not self.bounce:  # bounce mode keeps the reversed f
+                        self.f_old[i, j] = self._feq(i, j)
 
     def run_step(self, n=1):
         for _ in range(n):
