@@ -59,6 +59,54 @@ def cylinder_case(nx=800, ny=400, diameter=40, u_target=0.08, re=150.0):
     return cfg, mask
 
 
+def dfg_case(ny=164, u_max=0.1, re=100.0):
+    """The true DFG-2D cylinder benchmark (Schaefer-Turek 2D-2, Re = 100).
+
+    Geometry: 2.2 m x 0.41 m channel, cylinder D = 0.1 m centered at
+    (0.2, 0.2) -- slightly below mid-channel, which seeds the instability.
+    Walls are NO-SLIP (solid bounce-back rows), the inlet is the parabolic
+    velocity profile (bc type 3), the outlet Zou-He pressure. Expected:
+    Cd ~ 3.22, Cl amplitude ~ 1.0, St ~ 0.30 (f D / U_mean).
+
+    The reference carries all the pieces (parabolic helper
+    LBM2D_MRT_LES.py:580-586, bounce-back archive/lbm_mrt/solver.py:181-195,
+    Cd/Cl + sine fit physics_utils.py:112-161) but marks the validation
+    "pending"; this framework's bc extensions make it runnable.
+    """
+    scale = ny / 0.41  # px per metre
+    nx = int(round(2.2 * scale))
+    diameter = int(round(0.1 * scale))
+    u_mean = (2.0 / 3.0) * u_max
+    nu = u_mean * diameter / re
+    cfg = {
+        "simulation": {
+            "nx": nx, "ny": ny, "name": f"dfg2d_re{int(re)}", "nu": nu,
+            "ghost_moments_s": 1.2, "characteristic_length": diameter,
+            "rho_in": 1.0, "rho_out": 1.0,
+            "smagorinsky_constant": 0.0,  # laminar benchmark: LES off
+            "warmup_steps": 8000,
+        },
+        "boundary_condition": {
+            "type": [3, 2, 1, 2],
+            "value": [[u_max, 0.0]] + [[0.0, 0.0]] * 3,
+            "obstacle": "bounce_back",
+        },
+        "domain_zones": {
+            "sponge_in": 1, "sponge_out": 1, "sponge_top": 1, "sponge_bot": 1,
+            "sponge_strength": 0.0,  # clean benchmark: no sponge
+        },
+    }
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    cy = int(round(0.2 * scale))
+    cx = int(round(0.2 * scale))
+    mask = ((xx - cx) ** 2 + (yy - cy) ** 2 <= (diameter / 2.0) ** 2).astype(
+        np.float32
+    )
+    mask[0, :] = 1.0  # no-slip channel walls as bounce-back rows
+    mask[-1, :] = 1.0
+    return cfg, mask, diameter
+
+
 def run_validation(
     re: float = 150.0,
     steps: int = 40000,
@@ -68,16 +116,38 @@ def run_validation(
     diameter: int = 40,
     u_target: float = 0.08,
     progress: bool = True,
+    mode: str = "pressure",
 ) -> Dict:
-    cfg, mask = cylinder_case(nx, ny, diameter, u_target, re)
+    if mode == "dfg":
+        cfg, mask, diameter = dfg_case(ny=ny, u_max=u_target, re=re)
+        nx = cfg["simulation"]["nx"]
+    else:
+        cfg, mask = cylinder_case(nx, ny, diameter, u_target, re)
     engine = LBMEngine(cfg, mask)
     from ..core.stability import check_stability
+
+    # DFG coefficients are defined on the CYLINDER force alone; the no-slip
+    # channel walls are also mask cells and their momentum exchange dwarfs
+    # the drag (measured ~140x), so measure on a walls-excluded mask.
+    force_mask = None
+    if mode == "dfg":
+        import jax.numpy as jnp
+
+        cyl = mask.copy()
+        cyl[0, :] = 0.0
+        cyl[-1, :] = 0.0
+        force_mask = jnp.asarray(cyl)
 
     fx, fy, ts = [], [], []
     n_chunks = steps // chunk
     for i in range(n_chunks):
         engine.run_step(chunk)
-        f = engine.get_force()
+        if force_mask is not None:
+            from ..core.solver import force_on_obstacle
+
+            f = np.asarray(force_on_obstacle(engine.state.f_post, force_mask))
+        else:
+            f = engine.get_force()
         max_v = engine.get_max_velocity()
         ok, reason = check_stability(
             f, max_v, (i + 1) * chunk,
@@ -100,10 +170,18 @@ def run_validation(
     u_np, _ = engine.get_physical_fields()
     u_in = float(np.mean(u_np[0, 1:-1, 1]))
 
+    # DFG mode prescribes u_max exactly (parabolic inlet), so normalize with
+    # the prescribed value (reference compute_coefficients contract,
+    # physics_utils.py:112-126); pressure mode only knows the measured mean.
+    # For St, U_mean = the column average: 2/3 u_max for the parabola, which
+    # is what u_in measures in both modes.
+    u_norm = u_target if mode == "dfg" else u_in
+    u_for_st = (2.0 / 3.0) * u_target if mode == "dfg" else u_in
+
     # statistics over the second half (after shedding saturates)
     half = len(fx) // 2
     cd_arr, cl_arr, u_mean = compute_coefficients(
-        fx[half:], fy[half:], u_max=u_in, d=diameter
+        fx[half:], fy[half:], u_max=u_norm, d=diameter
     )
     fitted, popt = fit_sine_wave(ts[half:], fy[half:])
     result = {
@@ -117,7 +195,7 @@ def run_validation(
     if popt is not None:
         # popt omega is per recorded sample; samples are `chunk` steps apart
         omega_per_step = popt[1] / chunk
-        result["strouhal_sine_fit"] = strouhal_number(omega_per_step, diameter, u_in)
+        result["strouhal_sine_fit"] = strouhal_number(omega_per_step, diameter, u_for_st)
         result["lift_fit_amplitude"] = float(abs(popt[0]))
 
     # FFT-peak Strouhal over the last quarter (most stationary window); the
@@ -131,7 +209,7 @@ def run_validation(
         spec = np.abs(np.fft.rfft(osc * np.hanning(len(osc))))
         freqs = np.fft.rfftfreq(len(osc), d=chunk)  # cycles per lattice step
         k = 1 + int(np.argmax(spec[1:]))
-        result["strouhal"] = float(freqs[k] * diameter / u_in)
+        result["strouhal"] = float(freqs[k] * diameter / u_for_st)
         result["shedding_periods_in_window"] = float(freqs[k] * len(osc) * chunk)
         result["lift_oscillation_rms"] = float(np.sqrt(np.mean(osc**2)))
     return result
@@ -144,9 +222,20 @@ def main() -> None:
     ap.add_argument("--nx", type=int, default=800)
     ap.add_argument("--ny", type=int, default=400)
     ap.add_argument("--diameter", type=int, default=40)
+    ap.add_argument("--chunk", type=int, default=200)
+    ap.add_argument("--u", type=float, default=None,
+                    help="inlet velocity (u_max in dfg mode)")
+    ap.add_argument(
+        "--mode", choices=("pressure", "dfg"), default="pressure",
+        help="pressure = reference-style Zou-He channel; dfg = true "
+        "Schaefer-Turek 2D benchmark (parabolic inlet, no-slip walls)",
+    )
     args = ap.parse_args()
+    u_default = 0.1 if args.mode == "dfg" else 0.08
     res = run_validation(
-        re=args.re, steps=args.steps, nx=args.nx, ny=args.ny, diameter=args.diameter
+        re=args.re, steps=args.steps, nx=args.nx, ny=args.ny,
+        diameter=args.diameter, mode=args.mode, chunk=args.chunk,
+        u_target=args.u if args.u is not None else u_default,
     )
     print(json.dumps(res, indent=2))
 

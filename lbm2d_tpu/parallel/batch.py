@@ -54,24 +54,25 @@ _PARAM_AXES = CaseParams(
     rho_in=0, rho_out=0, warmup_steps=0, bc_value=0,
 )
 
-_vstep = jax.vmap(step, in_axes=(_STATE_AXES, _PARAM_AXES))
+
+def _param_axes(p: CaseParams) -> CaseParams:
+    """vmap in_axes matching ``p``'s treedef (inlet_profile is optional)."""
+    if p.inlet_profile is not None:
+        return _PARAM_AXES.replace(inlet_profile=0)
+    return _PARAM_AXES
+
+
 _vforce = jax.vmap(force_on_obstacle, in_axes=(0, 0))
 _vmax = jax.vmap(max_velocity, in_axes=0)
 _vstable = jax.vmap(is_stable_device, in_axes=(0, 0, 0, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
-def run_chunk_batched(
-    state: LBMState, p: CaseParams, alive: jnp.ndarray, n_steps: int
-):
-    """Advance all alive cases n_steps; freeze cases that go unstable.
-
-    Returns (state, alive, monitors) with per-case monitors
-    {"force": [B,2], "max_v": [B]}.
-    """
+def _chunk_lockstep(state: LBMState, p: CaseParams, alive, n_steps: int):
+    """vmap-lockstep chunk body (traceable; shared by jit and shard_map)."""
+    vstep = jax.vmap(step, in_axes=(_STATE_AXES, _param_axes(p)))
 
     def body(s, _):
-        s_new = _vstep(s, p)
+        s_new = vstep(s, p)
         s_frozen = jax.tree.map(
             lambda new, old: jnp.where(
                 alive.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
@@ -89,15 +90,27 @@ def run_chunk_batched(
     return state, alive, {"force": force, "max_v": max_v, "stable": stable}
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_steps", "batch", "interpret")
-)
-def _run_chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret):
-    """Advance B cases SEQUENTIALLY through the fused Pallas kernel inside
-    ONE jit (per-case host dispatches through the tunneled runtime cost
-    ~25% aggregate throughput: 6709 -> 8320 MLUPS at 1024^2, B=4). Dead
-    cases still compute but their results are where-discarded -- identical
-    semantics to the vmap lockstep's per-step freeze."""
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def run_chunk_batched(
+    state: LBMState, p: CaseParams, alive: jnp.ndarray, n_steps: int
+):
+    """Advance all alive cases n_steps; freeze cases that go unstable.
+
+    Returns (state, alive, monitors) with per-case monitors
+    {"force": [B,2], "max_v": [B]}.
+    """
+    return _chunk_lockstep(state, p, alive, n_steps)
+
+
+def _chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret):
+    """Sequential-Pallas chunk body (traceable; shared by jit and shard_map).
+
+    Advances B cases one after another through the fused Pallas kernel
+    inside ONE traced program (per-case host dispatches through the
+    tunneled runtime cost ~25% aggregate throughput: 6709 -> 8320 MLUPS at
+    1024^2, B=4). Dead cases still compute but their results are
+    where-discarded -- identical semantics to the vmap lockstep's
+    per-step freeze."""
     from ..ops.pallas_step import run_chunk_pallas
 
     news, forces, maxvs, stables = [], [], [], []
@@ -127,6 +140,65 @@ def _run_chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret):
     }
 
 
+_run_chunk_sequential = functools.partial(jax.jit, static_argnames=(
+    "n_steps", "batch", "interpret"
+))(_chunk_sequential)
+
+
+# ---------------------------------------------------------------------------
+# Cross-chip independent-case parallelism (SURVEY section 2.2: "pmap/
+# shard_map over chips for independent cases")
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "mesh", "local_b", "interpret", "sequential"),
+)
+def _run_chunk_case_sharded(
+    state_b, p_b, alive, n_steps, mesh, local_b, interpret, sequential
+):
+    """Advance B cases over a 1-D device mesh: each device owns B/D cases.
+
+    Cases are INDEPENDENT -- there is no per-step communication at all; the
+    batch axis is simply sharded over the ``cases`` mesh axis with
+    shard_map, and each device runs the same chunk body the single-device
+    engine uses (sequential fused-Pallas kernels where supported, the vmap
+    lockstep otherwise). Monitors come back batch-sharded and gather only
+    on the host read. This is the TPU-pod analogue of running the
+    reference's serial batch loop (pipeline/batch_run.py:219-351) once per
+    GPU -- minus the processes, plus bitwise-identical lockstep semantics.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def shard_body(st, p, al):
+        if sequential:
+            return _chunk_sequential(st, p, al, n_steps, local_b, interpret)
+        return _chunk_lockstep(st, p, al, n_steps)
+
+    b_spec = P("cases")
+    s_specs = jax.tree.map(lambda _: b_spec, state_b)
+    p_specs = jax.tree.map(lambda _: b_spec, p_b)
+    mon_specs = {"force": b_spec, "max_v": b_spec, "stable": b_spec}
+    return shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(s_specs, p_specs, b_spec),
+        out_specs=(s_specs, b_spec, mon_specs),
+    )(state_b, p_b, alive)
+
+
+def case_mesh(n_devices: Optional[int] = None):
+    """1-D ('cases',) mesh over the first n (default: all) local devices."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("cases",))
+
+
 _vmoments = jax.vmap(moments_output, in_axes=0)
 
 
@@ -151,6 +223,11 @@ class BatchEngine:
       chunk. Dead cases freeze exactly like the vmap path (skipped, state
       kept). Selected automatically on TPU for supported BCs and grids
       >= 2^16 cells (``runner="auto"``).
+    * ``sharded`` -- the batch axis is sharded over a 1-D device mesh
+      (``n_devices``); each chip independently runs the per-shard chunk
+      body (sequential Pallas on TPU, vmap lockstep elsewhere). No
+      per-step communication: aggregate throughput scales linearly with
+      devices. Monitors/alive stay per-case.
     """
 
     def __init__(
@@ -159,6 +236,7 @@ class BatchEngine:
         masks_yx: Sequence[np.ndarray],
         dtype=jnp.float32,
         runner: str = "auto",
+        n_devices: Optional[int] = None,
     ):
         if len(configs) != len(masks_yx):
             raise ValueError("configs and masks must align")
@@ -176,19 +254,47 @@ class BatchEngine:
 
         from ..ops.pallas_step import supports
 
-        if runner not in ("auto", "vmap", "pallas"):
+        if runner not in ("auto", "vmap", "pallas", "sharded"):
             raise ValueError(f"unknown runner {runner!r}")
         platform = jax.devices()[0].platform
         self._interpret = platform not in ("tpu", "axon")  # tests on CPU
-        self._sequential = runner == "pallas" or (
-            runner == "auto"
-            and platform in ("tpu", "axon")
-            and supports(self.case_params[0])
-            and self.ny * self.nx >= 1 << 16
+        pallas_ok = (
+            supports(self.case_params[0]) and self.ny * self.nx >= 1 << 16
         )
+        self._sequential = runner == "pallas" or (
+            runner == "auto" and platform in ("tpu", "axon") and pallas_ok
+        )
+        self.mesh = None
+        if runner == "sharded":
+            self.mesh = case_mesh(n_devices)
+            n_dev = self.mesh.devices.size
+            if self.batch % n_dev:
+                raise ValueError(
+                    f"batch {self.batch} not divisible by {n_dev} devices"
+                )
+            self._local_b = self.batch // n_dev
+            # per-shard strategy mirrors the auto rule (interpret-mode
+            # Pallas inside shard_map works but is slow; CPU tests use vmap)
+            self._sequential = platform in ("tpu", "axon") and pallas_ok
+            # place the batch axis over the mesh so shard_map consumes the
+            # shards in place (no resharding transfer on entry)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            put = lambda x: jax.device_put(
+                x, NamedSharding(self.mesh, P("cases"))
+            )
+            self.state = jax.tree.map(put, self.state)
+            self.params = jax.tree.map(put, self.params)
+            self.alive = put(self.alive)
 
     def run_step(self, n: int = 1) -> Dict[str, np.ndarray]:
-        if self._sequential:
+        if self.mesh is not None:
+            self.state, self.alive, mon = _run_chunk_case_sharded(
+                self.state, self.params, self.alive, n_steps=n,
+                mesh=self.mesh, local_b=self._local_b,
+                interpret=self._interpret, sequential=self._sequential,
+            )
+        elif self._sequential:
             mon = self._run_step_sequential(n)
         else:
             self.state, self.alive, mon = run_chunk_batched(

@@ -88,6 +88,8 @@ def run_lockstep_group(
     output_dirs: Dict[str, str],
     progress: bool = True,
     device_resize: bool = False,
+    runner: str = "auto",
+    n_devices: Optional[int] = None,
 ) -> List[Dict[str, Any]]:
     """Run one same-shape group in lockstep; returns per-case summary entries."""
     cfg0 = members[0][1]
@@ -118,7 +120,9 @@ def run_lockstep_group(
         else:
             writers.append(None)
 
-    engine = BatchEngine([cfg for _, cfg in members], masks)
+    engine = BatchEngine(
+        [cfg for _, cfg in members], masks, runner=runner, n_devices=n_devices
+    )
     n_cases = len(members)
 
     # Optional on-device dataset resize: crop the ROI and area-average to the
@@ -228,6 +232,8 @@ def run_batched(
     root: str = ".",
     progress: bool = True,
     device_resize: bool = False,
+    runner: str = "auto",
+    n_devices: Optional[int] = None,
 ) -> Dict[str, int]:
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -258,7 +264,8 @@ def run_batched(
         for fname in names:
             results_store.set_status(fname, results_store.STATUS_RUNNING, sim_results_path)
         entries = run_lockstep_group(
-            members, project_paths, output_dirs, progress, device_resize
+            members, project_paths, output_dirs, progress, device_resize,
+            runner=runner, n_devices=n_devices,
         )
         for entry in entries:
             fname = entry["config_filename"]
@@ -294,8 +301,21 @@ def main() -> None:
         "--device_resize", action="store_true",
         help="crop+resize dataset frames on device before the host transfer",
     )
+    ap.add_argument(
+        "--runner", choices=("auto", "vmap", "pallas", "sharded"),
+        default="auto",
+        help="batch execution strategy; 'sharded' spreads cases over a "
+        "('cases',) device mesh (cross-chip independent-case parallelism)",
+    )
+    ap.add_argument(
+        "--n_devices", type=int, default=None,
+        help="device count for --runner sharded (default: all local devices)",
+    )
     args = ap.parse_args()
-    run_batched(args.project_name, args.max_batch, device_resize=args.device_resize)
+    run_batched(
+        args.project_name, args.max_batch, device_resize=args.device_resize,
+        runner=args.runner, n_devices=args.n_devices,
+    )
 
 
 if __name__ == "__main__":

@@ -119,3 +119,35 @@ def test_device_resize_matches_host_path(tmp_path):
             tb = fb["turbulence"][:]
         assert ta.shape == tb.shape
         np.testing.assert_allclose(ta, tb, atol=5e-5)
+
+
+def test_sharded_datagen_matches_lockstep(tmp_path):
+    """--runner sharded (cases spread over the 8-device mesh) must produce
+    byte-identical HDF5 tensors to the single-device lockstep run."""
+    import jax
+
+    assert len(jax.devices()) >= 2
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    os.makedirs(root_a)
+    os.makedirs(root_b)
+    make_two_case_project(root_a, name="SP")
+    make_two_case_project(root_b, name="SP")
+
+    stats_a = run_batched("SP", max_batch=8, root=root_a, progress=False)
+    stats_b = run_batched(
+        "SP", max_batch=8, root=root_b, progress=False,
+        runner="sharded", n_devices=2,
+    )
+    assert stats_a["success"] == 2 and stats_b["success"] == 2
+
+    for case in ("mask_00_Nu0-0500", "mask_00_Nu0-0300"):
+        with h5py.File(
+            os.path.join(root_a, "outputs/SP/raw", f"{case}.h5")
+        ) as fa, h5py.File(
+            os.path.join(root_b, "outputs/SP/raw", f"{case}.h5")
+        ) as fb:
+            np.testing.assert_array_equal(
+                fa["turbulence"][:], fb["turbulence"][:],
+                err_msg=f"{case}: sharded datagen != lockstep",
+            )

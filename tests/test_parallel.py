@@ -250,3 +250,55 @@ def test_sharded_corner_transport():
     peak = np.unravel_index(np.abs(d).argmax(), d.shape)
     assert peak[0] > cy and peak[1] > cx, peak
     assert np.abs(d[cy + 1 :, cx + 1 :]).max() > 1e-4  # energy crossed the corner
+
+
+def test_batch_case_sharded_matches_serial():
+    """runner='sharded': 8 distinct cases over the 8-device ('cases',) mesh
+    advance in parallel bit-identical to per-case serial runs, including
+    per-case divergence freezing (VERDICT round-1 item 5 / SURVEY 2.2)."""
+    assert len(jax.devices()) >= 8, "needs the 8-device virtual CPU mesh"
+    nx, ny = 48, 24
+    cfgs, masks = [], []
+    for i in range(8):
+        cfg = grid_config(nx, ny, rho_in=1.005 + 0.004 * i)
+        if i == 5:  # one case diverges: tau < 0.5
+            cfg["simulation"]["nu"] = -0.16
+            cfg["simulation"]["warmup_steps"] = 1
+        cfgs.append(cfg)
+        m = block_mask(ny, nx) if i % 2 == 0 else np.zeros((ny, nx), np.float32)
+        masks.append(m)
+
+    be = BatchEngine(cfgs, masks, runner="sharded")
+    assert be.mesh is not None and be.mesh.devices.size == 8
+    for _ in range(4):
+        mon = be.run_step(10)
+    alive = be.alive_mask
+    assert not alive[5], "unstable case must trip its own breaker"
+    assert alive[[i for i in range(8) if i != 5]].all()
+
+    sharded_f = np.asarray(be.state.f)
+    for i, (cfg, mask) in enumerate(zip(cfgs, masks)):
+        if i == 5:
+            continue
+        st = init_state(ny, nx)
+        p = make_params(cfg, mask)
+        for _ in range(4):
+            st, ref_mon = run_chunk(st, p, 10)
+        np.testing.assert_array_equal(
+            sharded_f[i], np.asarray(st.f),
+            err_msg=f"case {i}: sharded != serial (must be bit-identical)",
+        )
+        np.testing.assert_allclose(
+            np.asarray(mon["force"][i]), np.asarray(ref_mon["force"]),
+            rtol=0, atol=0,
+        )
+
+
+def test_batch_case_sharded_rejects_indivisible():
+    nx, ny = 48, 24
+    cfgs = [grid_config(nx, ny) for _ in range(3)]
+    masks = [np.zeros((ny, nx), np.float32)] * 3
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        BatchEngine(cfgs, masks, runner="sharded")
