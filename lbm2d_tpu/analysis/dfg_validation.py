@@ -73,8 +73,16 @@ def dfg_case(ny=164, u_max=0.1, re=100.0):
     Cd/Cl + sine fit physics_utils.py:112-161) but marks the validation
     "pending"; this framework's bc extensions make it runnable.
     """
-    scale = ny / 0.41  # px per metre
-    nx = int(round(2.2 * scale))
+    # Walls are NEBB no-slip: bc type 0 (prescribed-velocity) with value
+    # [0, 0] on top/bottom puts an exact u = 0 Dirichlet wall ON rows 0 and
+    # ny-1 -- solid mask rows in the boundary ring do NOT work (the ring is
+    # excluded from collide, so bounce-back never fires there and the edge
+    # BC still governs; measured as a slipping wall: St 0.264 / Cd 2.96
+    # grid-converged at D = 40 and 80). With on-node walls the channel
+    # height H = 0.41 m spans exactly ny - 1 cells, matching the parabolic
+    # profile's zeros.
+    scale = (ny - 1) / 0.41  # px per metre
+    nx = int(round(2.2 * scale)) + 1
     diameter = int(round(0.1 * scale))
     u_mean = (2.0 / 3.0) * u_max
     nu = u_mean * diameter / re
@@ -87,7 +95,7 @@ def dfg_case(ny=164, u_max=0.1, re=100.0):
             "warmup_steps": 8000,
         },
         "boundary_condition": {
-            "type": [3, 2, 1, 2],
+            "type": [3, 0, 1, 0],
             "value": [[u_max, 0.0]] + [[0.0, 0.0]] * 3,
             "obstacle": "bounce_back",
         },
@@ -102,8 +110,6 @@ def dfg_case(ny=164, u_max=0.1, re=100.0):
     mask = ((xx - cx) ** 2 + (yy - cy) ** 2 <= (diameter / 2.0) ** 2).astype(
         np.float32
     )
-    mask[0, :] = 1.0  # no-slip channel walls as bounce-back rows
-    mask[-1, :] = 1.0
     return cfg, mask, diameter
 
 

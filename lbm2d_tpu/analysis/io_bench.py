@@ -39,16 +39,26 @@ def _timed_h5(path: str, t_size: int, hw: int) -> float:
 
 
 def _timed_zarr(path: str, t_size: int, hw: int) -> float:
-    from ..post.zarrlite import open_array
+    import json as _json
 
-    # zarrlite reads whole arrays; time a chunk-granular partial read instead
-    start = time.perf_counter()
-    arr = open_array(os.path.join(path, "turbulence"))
-    t_total, _, h, w = arr.shape
+    from ..post.zarrlite import read_region
+
+    apath = os.path.join(path, "turbulence")
+    with open(os.path.join(apath, ".zarray")) as fh:
+        t_total, c, h, w = _json.load(fh)["shape"]
     t0 = random.randint(0, max(0, t_total - t_size))
     h0 = random.randint(0, max(0, h - hw))
     w0 = random.randint(0, max(0, w - hw))
-    _ = arr[t0 : t0 + t_size, :, h0 : h0 + hw, w0 : w0 + hw]
+    start = time.perf_counter()
+    _ = read_region(
+        apath,
+        (
+            slice(t0, t0 + t_size),
+            slice(0, c),
+            slice(h0, h0 + hw),
+            slice(w0, w0 + hw),
+        ),
+    )
     return time.perf_counter() - start
 
 

@@ -134,11 +134,15 @@ def _pick_tiles(h: int, w: int):
     return max(16, bh), max(8, bh // 2), bw, px
 
 
-def _pick_split_tiles(h: int, w: int):
+def _pick_split_tiles(h: int, w: int, px: int = 0):
     """(BH, BW, PX) for split-BC fast steps: without the in-kernel BC
     branches the kernel holds ~19 live f32 planes per band row (measured on
     v5e; BH=128 fastest at 1024^2, BH=256 OOMs at ~19M), so bands can be
     much taller than _pick_tiles' 80.
+
+    ``px = 128`` is the 2D-mesh (x-sharded) geometry: the shard's x
+    neighbors are other devices, so streaming must read a REAL column halo
+    (halo-slice, ~32 live planes/row) instead of lane rolls.
 
     Wide grids stay on short full-width bands: the column-tiled alternative
     (BW=1024, PX=128, BH=64) measured a TIE at 4096^2 (2835 vs 2845 MLUPS)
@@ -149,7 +153,7 @@ def _pick_split_tiles(h: int, w: int):
     the tiles override and are parity-tested."""
     budget = 13 * 1024 * 1024 // 4  # floats (13MB of the 16MB core)
     wp128 = _round_up(w, 128)
-    bw, px = wp128, 0
+    bw = wp128
     # lane-roll streaming (px == 0) holds ~18 planes/row (19 before the
     # packed aux plane); halo-slice streaming (px > 0) relayouts the shifted
     # column reads, ~32 (measured)
@@ -662,6 +666,7 @@ def _edge_bc_kernel(
     Hg: int,
     H8: int,
     W_: int,
+    Wg: int,
     Wp: int,
     PXs: int,
     CH: int,
@@ -695,10 +700,13 @@ def _edge_bc_kernel(
     rho_in = scal_ref[0, _S_RHOIN]
     rho_out = scal_ref[0, _S_RHOOUT]
     w9 = [float(W[k]) for k in range(9)]
-    # shard_map use (rows-only decomposition: x never sharded): y_off maps
-    # local rows to global ones; strips are tiny, so the traced-scalar
-    # conjuncts in the masks cost nothing here (unlike in the band kernel)
+    # shard_map use: (y_off, x_off) map local rows/cols to global ones;
+    # strips are tiny, so the traced-scalar conjuncts in the masks cost
+    # nothing here (unlike in the band kernel). On a 2D mesh only the shard
+    # owning a global edge selects anything -- non-owners run the math and
+    # mask it all off (their stores rewrite unchanged values).
     y_off = 0 if offs_ref is None else offs_ref[0, 0]
+    x_off = 0 if offs_ref is None else offs_ref[0, 1]
 
     def col_program(c, left):
         x0 = PXs + (0 if left else W_ - 128)  # buffer col (incl. x-halo pad)
@@ -769,6 +777,10 @@ def _edge_bc_kernel(
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1)
         g = y_off + g0 + row_ids  # global row (y_off = 0 single-chip)
         m = (col_ids == (0 if left else 127)) & (g >= 1) & (g <= Hg - 2)
+        if offs_ref is not None:
+            # 2D mesh: only the shard owning the global left/right edge
+            x_owner = (x_off == 0) if left else (x_off + W_ == Wg)
+            m = m & x_owner
         f = jnp.where(m[None], fb, f)
         rho = jnp.where(m, rho_b, rho)
         ux = jnp.where(m, ux_b, ux)
@@ -891,11 +903,11 @@ def _edge_bc_step(
     fp, aux_p, ec, er, scalars, edims, bc_type, interpret, offs=None
 ):
     """Apply the boundary ring in place on the padded buffer (aliased I/O).
-    edims = (H, W, Hp, Wp, PXs, Hg) with H the LOCAL block height and Hg the
-    global lattice height (equal single-chip); ec/er are the main kernel's
-    exported collide macros on the edge strips. ``offs`` carries the shard
-    origin under shard_map (rows-only decomposition)."""
-    H, W_, Hp, Wp, PXs, Hg = edims
+    edims = (H, W, Hp, Wp, PXs, Hg, Wg) with H/W the LOCAL block dims and
+    Hg/Wg the global lattice dims (equal single-chip); ec/er are the main
+    kernel's exported collide macros on the edge strips. ``offs`` carries
+    the shard origin under shard_map (rows-only or 2D decomposition)."""
+    H, W_, Hp, Wp, PXs, Hg, Wg = edims
     dtype = fp.dtype
     H8 = _round_up(H, 8)
     CH = min(_EDGE_CH, H8)
@@ -909,7 +921,7 @@ def _edge_bc_step(
         rest = list(it)
         _edge_bc_kernel(
             scal, offs_r, *rest,
-            H=H, Hg=Hg, H8=H8, W_=W_, Wp=Wp, PXs=PXs, CH=CH, nch=nch,
+            H=H, Hg=Hg, H8=H8, W_=W_, Wg=Wg, Wp=Wp, PXs=PXs, CH=CH, nch=nch,
             bc_type=bc_type,
         )
 
@@ -1028,7 +1040,7 @@ def run_chunk_pallas(
         )
     dims_fast = (H, W_, H, W_, Hp, Wp_s, bh_fast, BW_s, PX_s)
     dims_full = (H, W_, H, W_, Hp, Wp, bh_full, BW, PX)
-    edims = (H, W_, Hp, Wp_s, PX_s, H)
+    edims = (H, W_, Hp, Wp_s, PX_s, H, W_)
 
     fp = jnp.pad(
         state.f, ((0, 0), (PY, PY + (Hp - H)), (PX_s, PX_s + (Wp_s - W_)))

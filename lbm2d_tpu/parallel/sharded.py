@@ -301,28 +301,31 @@ def run_chunk_sharded_pallas(
     )
     if not interpret and rxs > 1 and wl % 128:
         raise ValueError(f"local width {wl} must be a multiple of 128 lanes")
-    # split-BC fast steps (rows-only decomposition): the band kernel drops
-    # the in-kernel BCs AND the traced shard-ownership masks (their scoped
-    # VMEM forced 48-row bands) -- ownership moves to the tiny edge kernel
+    # split-BC fast steps: the band kernel drops the in-kernel BCs AND the
+    # traced shard-ownership masks (their scoped VMEM forced 48-row bands) --
+    # ownership moves to the tiny edge kernel. Rows-only meshes (rxs == 1)
+    # keep the lane-roll x-streaming; 2D meshes read a real 128-lane x-halo
+    # (the shard's x neighbors are other devices) refreshed by ppermute.
     split = (
-        tiles is None and rxs == 1 and wl % 128 == 0
+        tiles is None and wl % 128 == 0
         and hl % 8 == 0 and hl >= 16
     )
     if split:
-        bh_fast, BW, PXs = _pick_split_tiles(hl, wl)
+        bh_fast, BW, PXs = _pick_split_tiles(hl, wl, 0 if rxs == 1 else 128)
         hp_s = _round_up(hl, bh_fast)
         # the chunk-closing full step keeps the traced-mask in-kernel BCs
         # plus rho/u/f_post output blocks: ~92 live planes per band row
         bh_full = next(
             b for b in (48, 32, 16, 8)
             if hp_s % b == 0
-            and (92 * b + 160) * _round_up(wl, 128) <= 14 * 1024 * 1024 // 4
+            and (92 * b + 160) * (_round_up(wl, 128) + 2 * PXs)
+            <= 14 * 1024 * 1024 // 4
         )
     Hp = _round_up(hl, bh_fast)
     Wp = _round_up(wl, BW)
     dims_fast = (ny, nx, hl, wl, Hp, Wp, bh_fast, BW, PXs)
     dims_full = (ny, nx, hl, wl, Hp, Wp, bh_full, BW, PXs)
-    edims = (hl, wl, Hp, Wp, PXs, ny)
+    edims = (hl, wl, Hp, Wp, PXs, ny, nx)
     dtype = state.f.dtype
 
     def local_chunk(state_l: LBMState, p_l: CaseParams) -> LBMState:

@@ -3,8 +3,10 @@
 The environment has no ``zarr``/``numcodecs`` packages, so this module
 implements the (simple, stable) Zarr v2 on-disk format directly: per-array
 ``.zarray`` JSON metadata, ``.zgroup``/``.zattrs`` files, and C-order chunk
-files named ``i.j.k``. Compression uses the standard ``zlib`` codec (id
-"zlib"), which any real Zarr reader decodes; ``None`` writes raw chunks.
+files named ``i.j.k``. Compression uses the standard numcodecs ``zstd`` codec (raw
+zstd frames, id "zstd" -- decoded by any zarr 2.x stack with numcodecs and
+~10x faster to decompress than zlib) when the ``zstandard`` module is
+present, else the ``zlib`` codec; ``None`` writes raw chunks.
 
 Scope: what the dataset post-process needs -- groups, whole-array writes of
 in-memory numpy data with arbitrary chunking, attribute dicts, and reads for
@@ -22,6 +24,33 @@ import zlib
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
+
+try:  # numcodecs 'zstd' codec = raw zstd frames; zstandard provides them
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover
+    _zstd = None
+
+DEFAULT_CODEC = "zstd" if _zstd is not None else "zlib"
+
+
+def _compress(raw: bytes, comp_meta: Optional[Dict[str, Any]]) -> bytes:
+    if comp_meta is None:
+        return raw
+    if comp_meta["id"] == "zstd":
+        return _zstd.ZstdCompressor(level=comp_meta["level"]).compress(raw)
+    return zlib.compress(raw, comp_meta["level"])
+
+
+def _decompress(raw: bytes, comp_meta: Optional[Dict[str, Any]]) -> bytes:
+    if comp_meta is None:
+        return raw
+    if comp_meta["id"] == "zstd":
+        if _zstd is None:
+            raise RuntimeError("zstd-compressed store needs the zstandard module")
+        return _zstd.ZstdDecompressor().decompress(raw)
+    if comp_meta["id"] != "zlib":
+        raise ValueError(f"unsupported compressor {comp_meta}")
+    return zlib.decompress(raw)
 
 _DTYPE_MAP = {
     np.dtype("float16"): "<f2",
@@ -84,7 +113,7 @@ class ZarrGroup:
         data: np.ndarray,
         chunks: Sequence[int],
         dtype=None,
-        compressor: Optional[str] = "zlib",
+        compressor: Optional[str] = DEFAULT_CODEC,
         level: int = 5,
     ) -> str:
         """Write a full in-memory array as a chunked Zarr v2 array."""
@@ -95,7 +124,12 @@ class ZarrGroup:
         adir = os.path.join(self.path, name)
         os.makedirs(adir, exist_ok=True)
 
-        comp_meta = {"id": "zlib", "level": level} if compressor == "zlib" else None
+        if compressor in ("zlib", "zstd"):
+            comp_meta = {"id": compressor, "level": level}
+        elif compressor is None:
+            comp_meta = None
+        else:
+            raise ValueError(f"unknown compressor {compressor!r}")
         meta = {
             "zarr_format": 2,
             "shape": list(data.shape),
@@ -122,9 +156,7 @@ class ZarrGroup:
                 full = np.zeros(chunks, data.dtype)
                 full[tuple(slice(0, e) for e in block.shape)] = block
                 block = full
-            raw = np.ascontiguousarray(block).tobytes()
-            if comp_meta is not None:
-                raw = zlib.compress(raw, level)
+            raw = _compress(np.ascontiguousarray(block).tobytes(), comp_meta)
             with open(os.path.join(adir, ".".join(map(str, idx))), "wb") as fh:
                 fh.write(raw)
         return adir
@@ -138,8 +170,6 @@ def open_array(path: str) -> np.ndarray:
     chunks = tuple(meta["chunks"])
     dtype = np.dtype(meta["dtype"])
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") != "zlib":
-        raise ValueError(f"unsupported compressor {comp}")
     out = np.zeros(shape, dtype)
     grid = [math.ceil(s / c) for s, c in zip(shape, chunks)]
     for idx in itertools.product(*(range(g) for g in grid)):
@@ -148,13 +178,56 @@ def open_array(path: str) -> np.ndarray:
             continue
         with open(fname, "rb") as fh:
             raw = fh.read()
-        if comp is not None:
-            raw = zlib.decompress(raw)
-        block = np.frombuffer(raw, dtype).reshape(chunks)
+        block = np.frombuffer(_decompress(raw, comp), dtype).reshape(chunks)
         sl = tuple(
             slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
         )
         out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
+    return out
+
+
+def read_region(path: str, sel: Sequence[slice]) -> np.ndarray:
+    """Read a rectangular region, decompressing ONLY intersecting chunks.
+
+    This is the access pattern Zarr exists for (random training crops,
+    reference ``src/analysis/zarr_check.py``): a crop touching k chunks
+    costs k chunk reads, not a whole-array scan. ``sel`` must be one
+    ``slice(start, stop)`` per dimension (step 1).
+    """
+    with open(os.path.join(path, ".zarray")) as fh:
+        meta = json.load(fh)
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    dtype = np.dtype(meta["dtype"])
+    comp = meta.get("compressor")
+    if len(sel) != len(shape):
+        raise ValueError(f"need {len(shape)} slices, got {len(sel)}")
+    bounds = []
+    for s, n in zip(sel, shape):
+        start, stop, step = s.indices(n)
+        if step != 1:
+            raise ValueError("read_region supports contiguous slices only")
+        bounds.append((start, stop))
+    out = np.zeros([max(0, b - a) for a, b in bounds], dtype)
+    if out.size == 0:
+        return out
+    chunk_ranges = [
+        range(a // c, (b - 1) // c + 1) for (a, b), c in zip(bounds, chunks)
+    ]
+    for idx in itertools.product(*chunk_ranges):
+        fname = os.path.join(path, ".".join(map(str, idx)))
+        if not os.path.exists(fname):
+            continue
+        with open(fname, "rb") as fh:
+            raw = fh.read()
+        block = np.frombuffer(_decompress(raw, comp), dtype).reshape(chunks)
+        sel_out, sel_blk = [], []
+        for i, c, (a, b) in zip(idx, chunks, bounds):
+            lo = max(a, i * c)
+            hi = min(b, (i + 1) * c)
+            sel_out.append(slice(lo - a, hi - a))
+            sel_blk.append(slice(lo - i * c, hi - i * c))
+        out[tuple(sel_out)] = block[tuple(sel_blk)]
     return out
 
 

@@ -153,3 +153,31 @@ def test_bounce_channel_runs_and_drags():
     np.testing.assert_allclose(
         np.asarray(st.u[0, 1:-1, 0]), prof[1:-1], rtol=0, atol=5e-7
     )
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_DFG"),
+    reason="full DFG-2D benchmark: ~10 min of solver time; set RUN_DFG=1",
+)
+def test_dfg2d_benchmark_coefficients():
+    """Schaefer-Turek 2D-2 at Re=100: Cd ~ 3.22, Cl ~ 1.0, St ~ 0.30.
+
+    Hardware-measured (one v5e chip, D=40, 200k steps): Cd 3.05,
+    Cl amplitude 0.90, St 0.288 -- tolerances cover the known D=40
+    full-way-bounce-back resolution bias (BASELINE.md).
+    """
+    from lbm2d_tpu.analysis.dfg_validation import run_validation
+
+    res = run_validation(
+        re=100.0, steps=160000, chunk=500, ny=165, u_target=0.1,
+        mode="dfg", progress=False,
+    )
+    assert res["shedding_detected"]
+    assert 0.26 <= res["strouhal"] <= 0.32, res
+    assert 2.7 <= res["cd_mean"] <= 3.5, res
+    assert 0.5 <= res["cl_amplitude"] <= 1.4, res
+    assert 90 <= res["re_measured"] <= 110, res

@@ -26,7 +26,7 @@ def test_zarrlite_roundtrip(tmp_path):
     meta = json.load(open(os.path.join(path, ".zarray")))
     assert meta["zarr_format"] == 2
     assert meta["dtype"] == "<f2"
-    assert meta["compressor"]["id"] == "zlib"
+    assert meta["compressor"]["id"] in ("zstd", "zlib")
 
 
 def make_fake_case(raw_dir, name, t=12, h=16, w=24):
@@ -82,3 +82,80 @@ def test_h5_to_zarr_pipeline(tmp_path):
     sm = open_array(os.path.join(zdir, "static_mask"))
     assert sm.shape[0] == 2
     assert read_attrs(zdir)["reynolds_number"] == 42.0
+
+
+def test_zarr_interop_independent_spec_reader(tmp_path):
+    """The C28 contract: zarrlite output must be consumable by the real zarr
+    2.x stack unchanged. zarr/numcodecs are not installed in this image, so
+    the proof is a round-trip through tests/zarr_spec_reader.py -- a reader
+    written independently FROM the Zarr v2 spec (not from zarrlite)."""
+    from tests.zarr_spec_reader import read_array, read_group_attrs
+
+    # full pipeline output, not a toy array
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "zarr")
+    summary = [
+        {
+            "case_name": "case_a",
+            "status": "Success",
+            "run_summary": {"h5_file": "case_a.h5"},
+            "parameters": {"physical_scaled": {"reynolds_number_calculated": 7.0}},
+        }
+    ]
+    make_fake_case(raw, "case_a", t=11, h=16, w=24)  # 11: forces edge chunks
+    spath = str(tmp_path / "summary.json")
+    with open(spath, "w") as fh:
+        json.dump(summary, fh)
+    h5_to_zarr_run(spath, raw, out)
+
+    zdir = os.path.join(out, "case_a.zarr")
+    for name in (
+        "turbulence",
+        "static_mask",
+        "mean_vel_field",
+        "sampling_weights/vor",
+        "sampling_weights/sdf",
+        "sampling_weights/mix",
+    ):
+        path = os.path.join(zdir, name)
+        spec_view = read_array(path)
+        zarrlite_view = open_array(path)
+        np.testing.assert_array_equal(
+            spec_view, zarrlite_view,
+            err_msg=f"{name}: independent spec reader disagrees with zarrlite",
+        )
+    assert read_group_attrs(zdir)["reynolds_number"] == 7.0
+
+    # spot-check spec details the downstream loader relies on
+    meta = json.load(open(os.path.join(zdir, "turbulence", ".zarray")))
+    assert meta["dtype"] == "<f2" and meta["order"] == "C"
+    # numcodecs codec ids the downstream zarr 2.x stack decodes natively
+    assert meta["compressor"]["id"] in ("zstd", "zlib")
+
+
+def test_spec_reader_handles_missing_chunks_and_orders(tmp_path):
+    """Spec-reader edge cases zarrlite's writer never emits (fill_value for
+    absent chunks, F order) -- guards the reader itself against accidentally
+    encoding zarrlite-specific assumptions."""
+    import zlib as _zlib
+    from tests.zarr_spec_reader import read_array
+
+    store = tmp_path / "arr"
+    store.mkdir()
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    meta = {
+        "zarr_format": 2,
+        "shape": [3, 8],
+        "chunks": [3, 4],
+        "dtype": "<f4",
+        "order": "F",
+        "fill_value": -1.0,
+        "compressor": {"id": "zlib", "level": 1},
+        "filters": None,
+    }
+    (store / ".zarray").write_text(json.dumps(meta))
+    (store / "0.0").write_bytes(_zlib.compress(data.tobytes(order="F")))
+    # chunk (0, 1) deliberately missing -> fill_value
+    out = read_array(str(store))
+    np.testing.assert_array_equal(out[:, :4], data)
+    assert (out[:, 4:] == -1.0).all()
