@@ -60,6 +60,41 @@ from ..core.solver import (
 PY = 8  # row padding = f32 sublane tile; also the halo alignment unit
 LANE = 128
 
+# XLA's default scoped-VMEM allowance is 16MB -- a soft reservation, far
+# below the physical VMEM of a v5e core. Raising the per-kernel limit lets
+# wide grids (4096 lanes) run taller bands (64-row bands at 4096 lanes
+# measured 3161 vs 2839 MLUPS for the 16-row bands that fit 16MB), but a
+# limit past ~48MB strangles XLA's own VMEM workspace around the kernel
+# (1024^2 collapses 10.1k -> 5.1k at 64MB), so the limit is computed
+# per-geometry: the minimum that fits the band scratch plus the ec/er
+# export strips (which XLA allocates on the scoped stack, layout S(1),
+# despite their HBM spec).
+_MB = 1024 * 1024
+
+# fast-step bands pipeline across grid programs once the padded f buffer
+# exceeds this size: smaller problems run "VMEM-resident" (XLA keeps the
+# buffers on-chip; 1024^2 = 37MB measures ~88us/Mcell vs ~360 beyond) and
+# gain nothing from manual overlap. Tests shrink it to exercise the path in
+# interpret mode.
+_PIPELINE_MIN_BYTES = 48 * 1024 * 1024
+
+
+def _vmem_limit(Hp, Wp, BW, PX, export, ec_w, pipelined=False, BH=0):
+    limit = 16 * _MB
+    if export:
+        limit += 4 * (3 * Hp * ec_w + 48 * Wp)  # scoped ec + er outputs
+    if BW + 2 * PX >= 4096:
+        limit = max(limit, 40 * _MB)  # 64-row bands at 4096 lanes
+    if pipelined:
+        # two-slot band scratch + ~16 temp planes + export strips + slack
+        need = (
+            4 * (18 * (BH + 2 * PY) + 18 * BH + 16 * BH) * (BW + 2 * PX)
+            + 4 * (3 * Hp * ec_w + 48 * Wp)
+            + 8 * _MB
+        )
+        limit = max(limit, need)
+    return limit
+
 # scalar packing order for the SMEM input
 _S_TAU0, _S_CSF, _S_SG, _S_RAMP, _S_RHOIN, _S_RHOOUT = range(6)
 _S_BCV = 6  # bc_value flattened [4*2] starts here; 14 scalars total
@@ -158,6 +193,11 @@ def _pick_split_tiles(h: int, w: int, px: int = 0):
     # packed aux plane); halo-slice streaming (px > 0) relayouts the shifted
     # column reads, ~32 (measured)
     planes = 18 if px == 0 else 32
+    if bw >= 4096 and px == 0:
+        # wide grids: the scoped-VMEM limit is raised per-geometry
+        # (_vmem_limit) so 64-row bands fit; 128-row bands need a ~72MB
+        # limit, deep in the range that strangles XLA's workspace, for +1%
+        return min(64, _round_up(h, 16)), bw, px
     # cap 128: with the single packed-aux blocked input (saves 2 pipeline
     # buffers, ~1MB at BH=128) 128-row bands fit scoped VMEM even in
     # programs that inline several chunk calls (the fused batch runner);
@@ -363,6 +403,7 @@ def _step_kernel(
     s_er,  # VMEM (3, 8, BW) staging for er windows, or None
     sem_in,
     sem_out,
+    sem_ec,
     *,
     Hg: int,
     Wg: int,
@@ -374,23 +415,55 @@ def _step_kernel(
     use_les: bool,
     bc_type,
     apply_bc: bool = True,
+    pipelined: bool = False,
+    NPROG: int = 0,
 ):
     """Each program owns one (BH, BW) tile: DMA the halo window in, compute
-    the full update, DMA the tile out. (A software-pipelined two-slot variant
-    was measured no faster -- the DMA engines already overlap -- so the
-    simple form is kept.)
+    the full update, DMA the tile out.
+
+    ``pipelined`` (wide beyond-VMEM grids, single column tile): two-slot
+    scratch with cross-program software pipelining -- program i prefetches
+    window i+1 while computing window i, and store completion is only
+    awaited two programs later. Small (VMEM-resident) grids measured no
+    gain from this (their "DMA" is effectively free), but at 4096 lanes the
+    serialized load->compute->store chain is the bottleneck.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
     y0 = i * BH
     x0 = j * BW
-    load = pltpu.make_async_copy(
-        fp_hbm.at[:, pl.ds(y0, BH + 2 * PY), pl.ds(x0, BW + 2 * PX)],
-        scratch_in,
-        sem_in,
-    )
-    load.start()
-    load.wait()
+    if pipelined:
+        slot = jax.lax.rem(i, jnp.int32(2))
+
+        def load_for(idx, sl):
+            return pltpu.make_async_copy(
+                fp_hbm.at[
+                    :, pl.ds(idx * BH, BH + 2 * PY), pl.ds(x0, BW + 2 * PX)
+                ],
+                scratch_in.at[sl],
+                sem_in.at[sl],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            load_for(0, 0).start()
+
+        @pl.when(i + 1 < NPROG)
+        def _():
+            load_for(i + 1, 1 - slot).start()
+
+        load_for(i, slot).wait()
+        so_parent = scratch_out
+        scratch_in = scratch_in.at[slot]
+        scratch_out = scratch_out.at[slot]
+    else:
+        load = pltpu.make_async_copy(
+            fp_hbm.at[:, pl.ds(y0, BH + 2 * PY), pl.ds(x0, BW + 2 * PX)],
+            scratch_in,
+            sem_in,
+        )
+        load.start()
+        load.wait()
 
     if h_lo_ref is not None:
         # Sharded row-decomposed mode: the 1-row neighbor halos arrive as
@@ -457,7 +530,7 @@ def _step_kernel(
                         lane[None] < 64, mac[:, :, 0:128], mac[:, :, c0 : c0 + 128]
                     )
                     c = pltpu.make_async_copy(
-                        s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(0, 128)], sem_out
+                        s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(0, 128)], sem_ec
                     )
                     c.start()
                     c.wait()
@@ -468,7 +541,7 @@ def _step_kernel(
                 def _():
                     s_ec[:] = mac[:, :, 0:128]
                     c = pltpu.make_async_copy(
-                        s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(0, 128)], sem_out
+                        s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(0, 128)], sem_ec
                     )
                     c.start()
                     c.wait()
@@ -477,7 +550,7 @@ def _step_kernel(
                 def _():
                     s_ec[:] = mac[:, :, c0 : c0 + 128]
                     c = pltpu.make_async_copy(
-                        s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(128, 128)], sem_out
+                        s_ec, ec_hbm.at[:, pl.ds(y0g, BH), pl.ds(128, 128)], sem_ec
                     )
                     c.start()
                     c.wait()
@@ -487,7 +560,7 @@ def _step_kernel(
             def _():
                 s_er[:] = mac[:, 0:8, :]
                 c = pltpu.make_async_copy(
-                    s_er, er_hbm.at[:, pl.ds(0, 8), pl.ds(x0, BW)], sem_out
+                    s_er, er_hbm.at[:, pl.ds(0, 8), pl.ds(x0, BW)], sem_ec
                 )
                 c.start()
                 c.wait()
@@ -498,7 +571,7 @@ def _step_kernel(
             def _():
                 s_er[:] = mac[:, r_t : r_t + 8, :]
                 c = pltpu.make_async_copy(
-                    s_er, er_hbm.at[:, pl.ds(8, 8), pl.ds(x0, BW)], sem_out
+                    s_er, er_hbm.at[:, pl.ds(8, 8), pl.ds(x0, BW)], sem_ec
                 )
                 c.start()
                 c.wait()
@@ -507,19 +580,51 @@ def _step_kernel(
     # reference (apply_bc tail, LBM2D_MRT_LES.py:452-455)
     f_eq_rest = jnp.stack([rho * float(W[k]) for k in range(9)])
 
-    scratch_out[:] = jnp.where(solid[None], f_eq_rest, f_new)
-    if rho_ref is not None:
-        rho_ref[:] = rho
-        u_ref[0] = jnp.where(solid, 0.0, ux)
-        u_ref[1] = jnp.where(solid, 0.0, uy)
+    if pipelined:
+        slot = jax.lax.rem(i, jnp.int32(2))
 
-    store = pltpu.make_async_copy(
-        scratch_out,
-        fp_new_hbm.at[:, pl.ds(y0 + PY, BH), pl.ds(x0 + PX, BW)],
-        sem_out,
-    )
-    store.start()
-    store.wait()
+        def store_for(idx, sl):
+            return pltpu.make_async_copy(
+                so_parent.at[sl],
+                fp_new_hbm.at[:, pl.ds(idx * BH + PY, BH), pl.ds(x0 + PX, BW)],
+                sem_out.at[sl],
+            )
+
+        # slot reuse: program i - 2 stored from this slot; its DMA must have
+        # drained before we overwrite the scratch
+        @pl.when(i >= 2)
+        def _():
+            store_for(i - 2, slot).wait()
+
+        scratch_out[:] = jnp.where(solid[None], f_eq_rest, f_new)
+        if rho_ref is not None:
+            rho_ref[:] = rho
+            u_ref[0] = jnp.where(solid, 0.0, ux)
+            u_ref[1] = jnp.where(solid, 0.0, uy)
+        store_for(i, slot).start()
+
+        # the last program drains every outstanding store before kernel exit
+        @pl.when(i == NPROG - 1)
+        def _():
+            store_for(i, slot).wait()
+
+        @pl.when((i == NPROG - 1) & (i >= 1))
+        def _():
+            store_for(i - 1, 1 - slot).wait()
+    else:
+        scratch_out[:] = jnp.where(solid[None], f_eq_rest, f_new)
+        if rho_ref is not None:
+            rho_ref[:] = rho
+            u_ref[0] = jnp.where(solid, 0.0, ux)
+            u_ref[1] = jnp.where(solid, 0.0, uy)
+
+        store = pltpu.make_async_copy(
+            scratch_out,
+            fp_new_hbm.at[:, pl.ds(y0 + PY, BH), pl.ds(x0 + PX, BW)],
+            sem_out,
+        )
+        store.start()
+        store.wait()
 
 
 @functools.partial(
@@ -528,7 +633,7 @@ def _step_kernel(
 )
 def _pallas_step(
     fp, aux_p, scalars, offs, h_lo, h_hi, dims, use_les, bc_type,
-    full, interpret, apply_bc=True,
+    full, interpret, apply_bc=True, ec_buf=None, er_buf=None,
 ):
     """One fused lattice update. dims = (Hg, Wg, HL, WL, Hp, Wp, BH, BW, PX);
     single-chip passes HL == Hg, WL == Wg and offs None; the sharded path
@@ -557,9 +662,18 @@ def _pallas_step(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ]
+    # software-pipelined two-slot mode for wide beyond-VMEM grids (single
+    # column tile; the small-grid "VMEM-resident" tier gains nothing)
+    nprog = Hp // BH
+    fp_bytes = 4 * 9 * (Hp + 2 * PY) * (Wp + 2 * PX)
+    pipelined = (
+        export and PX == 0 and grid[1] == 1
+        and fp_bytes >= _PIPELINE_MIN_BYTES
+    )
     dims_kw = dict(
         Hg=Hg, Wg=Wg, HL=HL, WL=WL, BH=BH, BW=BW, PX=PX,
         use_les=use_les, bc_type=bc_type, apply_bc=apply_bc,
+        pipelined=pipelined, NPROG=nprog,
     )
     if full:
         out_shape += [
@@ -577,13 +691,18 @@ def _pallas_step(
             ),
         ]
 
+    aliased = export and ec_buf is not None
+
     def kernel(*refs):
         it = iter(refs)
         scal = next(it)
         offs_r = next(it) if sharded else None
         hlo = next(it) if halo else None
         hhi = next(it) if halo else None
-        fh, aux, fn = next(it), next(it), next(it)
+        fh, aux = next(it), next(it)
+        if aliased:  # donated ec/er input refs; use the output refs instead
+            next(it), next(it)
+        fn = next(it)
         ec = next(it) if export else None
         er = next(it) if export else None
         rho = next(it) if full else None
@@ -593,9 +712,10 @@ def _pallas_step(
         s_ec = next(it) if export else None
         s_er = next(it) if export else None
         sin, sout = next(it), next(it)
+        semec = next(it) if export else None
         _step_kernel(
             scal, offs_r, hlo, hhi, fh, aux, fn, rho, u, fpost, ec, er,
-            s_in, s_out, s_ec, s_er, sin, sout, **dims_kw,
+            s_in, s_out, s_ec, s_er, sin, sout, semec, **dims_kw,
         )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -615,25 +735,56 @@ def _pallas_step(
     ]
     args += [fp, aux_p]
 
+    # XLA allocates the small unblocked ec/er OUTPUTS on the scoped-VMEM
+    # stack (layout S(1)) despite the HBM out_spec -- at Hp = 4096 the ec
+    # strip alone is 6.3MB and the kernel OOMs. Donated HBM *inputs* aliased
+    # to those outputs keep them in HBM like fp (callers thread the buffers
+    # through the scan carry; every exported cell is rewritten each step, so
+    # stale contents are never read).
+    aliases = {}
+    if export and ec_buf is not None:
+        base = len(args)
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ]
+        args += [ec_buf, er_buf]
+        aliases = {base: 1, base + 1: 2}
+
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((9, BH + 2 * PY, BW + 2 * PX), dtype),
-            pltpu.VMEM((9, BH, BW), dtype),
-        ]
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(
+                Hp, Wp, BW, PX, export, ec_w if export else 0, pipelined, BH
+            )
+        ),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, 9, BH + 2 * PY, BW + 2 * PX), dtype),
+                pltpu.VMEM((2, 9, BH, BW), dtype),
+            ]
+            if pipelined
+            else [
+                pltpu.VMEM((9, BH + 2 * PY, BW + 2 * PX), dtype),
+                pltpu.VMEM((9, BH, BW), dtype),
+            ]
+        )
         + (
             [pltpu.VMEM((3, BH, 128), dtype), pltpu.VMEM((3, 8, BW), dtype)]
             if export
             else []
         )
-        + [
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        + (
+            [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+            if pipelined
+            else [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+        )
+        + ([pltpu.SemaphoreType.DMA] if export else []),
         interpret=interpret,
     )(*args)
     return outs
@@ -949,6 +1100,9 @@ def _edge_bc_step(
             jax.ShapeDtypeStruct(er.shape, dtype),
         ],
         input_output_aliases={2 if sharded else 1: 0, 5 if sharded else 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=16 * _MB + 4 * (3 * Hp * ec.shape[2] + 48 * Wp)
+        ),
         scratch_shapes=[
             pltpu.VMEM((9, CH, 128), dtype),
             pltpu.VMEM((9, 8, Wp), dtype),
@@ -1048,14 +1202,21 @@ def run_chunk_pallas(
     aux = pack_aux(p.damping, p.mask)
     aux_s = jnp.pad(aux, ((0, Hp - H), (0, Wp_s - W_)))
 
+    # ec/er export buffers ride the scan carry as donated HBM inputs (see
+    # _pallas_step aliases note); every exported cell is rewritten per step
+    ec_w = 128 if (W_ - 1) // BW_s == 0 else 256
+    ec0 = jnp.zeros((3, Hp, ec_w), dtype)
+    er0 = jnp.zeros((3, 16, Wp_s), dtype)
+
     def fast_body(carry, _):
-        fp, step = carry
+        fp, ec, er, step = carry
         step = step + 1
         scal = _scalars(p, step, dtype)
         if split_bc:
             fp_new, ec, er = _pallas_step(
                 fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, False,
+                ec_buf=ec, er_buf=er,
             )
             fp_new = _edge_bc_step(
                 fp_new, aux_s, ec, er, scal, edims, p.bc_type, interpret
@@ -1065,12 +1226,12 @@ def run_chunk_pallas(
                 fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, True,
             )
-        return (fp_new, step), None
+        return (fp_new, ec, er, step), None
 
-    carry = (fp, state.step)
+    carry = (fp, ec0, er0, state.step)
     if n_steps > 1:
         carry, _ = jax.lax.scan(fast_body, carry, None, length=n_steps - 1)
-    fp, step = carry
+    fp, _, _, step = carry
     step = step + 1
     scal = _scalars(p, step, dtype)
     if (PX_s, Wp_s) != (PX, Wp):

@@ -356,24 +356,31 @@ def run_chunk_sharded_pallas(
             pad8 = ((0, 0), (0, 7), (0, 0))
             return jnp.pad(from_below, pad8), jnp.pad(from_above, pad8)
 
-        def advance(fp, h_lo, h_hi, step, dims, full):
+        def advance(fp, h_lo, h_hi, step, dims, full, ec=None, er=None):
             scal = _scalars(p_l, step, dtype)
             if split and not full:
                 # band kernel without BCs (needs no shard origin) + edge
-                # kernel gated by the shard origin
+                # kernel gated by the shard origin; ec/er are donated HBM
+                # carry buffers (see ops/pallas_step aliases note)
                 fp_new, ec, er = _pallas_step(
                     fp, aux_b, scal, None, h_lo, h_hi, dims,
                     p_l.use_les, p_l.bc_type, False, interpret, False,
+                    ec_buf=ec, er_buf=er,
                 )
                 fp_new = _edge_bc_step(
                     fp_new, aux_b, ec, er, scal, edims, p_l.bc_type,
                     interpret, offs=offs,
                 )
-                return (fp_new,)
+                return fp_new, ec, er
             return _pallas_step(
                 fp, aux_b, scal, offs, h_lo, h_hi, dims,
                 p_l.use_les, p_l.bc_type, full, interpret,
             )
+
+        if split:
+            ec_w = 128 if (wl - 1) // BW == 0 else 256
+            ec0 = jnp.zeros((3, Hp, ec_w), dtype)
+            er0 = jnp.zeros((3, 16, Wp), dtype)
 
         if PXs == 0:
             # halos ride the scan carry, extracted from each step's OUTPUT:
@@ -381,16 +388,35 @@ def run_chunk_sharded_pallas(
             # while-carry copy overlaps the kernel instead of serializing
             # before it (measured: 4.1k -> 5.8k MLUPS at 1024^2)
             def fast_body(carry, _):
+                fp, h_lo, h_hi, ec, er, step = carry
+                step = step + 1
+                fp_new, ec, er = advance(
+                    fp, h_lo, h_hi, step, dims_fast, False, ec, er
+                )
+                h_lo2, h_hi2 = halo_rows(fp_new)
+                return (fp_new, h_lo2, h_hi2, ec, er, step), None
+
+            def fast_body_fused(carry, _):
                 fp, h_lo, h_hi, step = carry
                 step = step + 1
                 (fp_new,) = advance(fp, h_lo, h_hi, step, dims_fast, False)
                 h_lo2, h_hi2 = halo_rows(fp_new)
                 return (fp_new, h_lo2, h_hi2, step), None
 
-            carry = (fp, *halo_rows(fp), state_l.step)
-            if n_steps > 1:
-                carry, _ = lax.scan(fast_body, carry, None, length=n_steps - 1)
-            fp, h_lo, h_hi, step = carry
+            if split:
+                carry = (fp, *halo_rows(fp), ec0, er0, state_l.step)
+                if n_steps > 1:
+                    carry, _ = lax.scan(
+                        fast_body, carry, None, length=n_steps - 1
+                    )
+                fp, h_lo, h_hi, _, _, step = carry
+            else:
+                carry = (fp, *halo_rows(fp), state_l.step)
+                if n_steps > 1:
+                    carry, _ = lax.scan(
+                        fast_body_fused, carry, None, length=n_steps - 1
+                    )
+                fp, h_lo, h_hi, step = carry
             step = step + 1
             fp, rho_p, u_p, fpost_p = advance(
                 fp, h_lo, h_hi, step, dims_full, True
@@ -398,16 +424,25 @@ def run_chunk_sharded_pallas(
         else:
 
             def fast_body(carry, _):
-                fp, step = carry
+                fp, ec, er, step = carry
                 fp = _halo_update_padded(fp, hl, wl, PXs, mesh)
                 step = step + 1
-                (fp_new,) = advance(fp, None, None, step, dims_fast, False)
-                return (fp_new, step), None
+                if split:
+                    fp_new, ec, er = advance(
+                        fp, None, None, step, dims_fast, False, ec, er
+                    )
+                else:
+                    (fp_new,) = advance(fp, None, None, step, dims_fast, False)
+                return (fp_new, ec, er, step), None
 
-            carry = (fp, state_l.step)
+            if split:
+                carry = (fp, ec0, er0, state_l.step)
+            else:
+                carry = (fp, jnp.zeros((1,), dtype), jnp.zeros((1,), dtype),
+                         state_l.step)
             if n_steps > 1:
                 carry, _ = lax.scan(fast_body, carry, None, length=n_steps - 1)
-            fp, step = carry
+            fp, _, _, step = carry
             fp = _halo_update_padded(fp, hl, wl, PXs, mesh)
             step = step + 1
             fp, rho_p, u_p, fpost_p = advance(fp, None, None, step, dims_full, True)

@@ -119,3 +119,26 @@ def test_pallas_column_tiled_nonmultiple_width():
         tiles=(32, 16, 128, 128),  # Wp = 384 > W = 320
     )
     np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f), atol=1e-6)
+
+
+def test_pipelined_band_path_matches_jnp(monkeypatch):
+    """The cross-program two-slot pipeline (beyond-VMEM wide grids) must be
+    bitwise-identical to the jnp chunk; forced on a small grid by shrinking
+    the activation threshold."""
+    import lbm2d_tpu.ops.pallas_step as ps
+
+    monkeypatch.setattr(ps, "_PIPELINE_MIN_BYTES", 1)
+    nx, ny = 128, 64
+    cfg = tiny_config(nx=nx, ny=ny)
+    mask = np.zeros((ny, nx), np.float32)
+    mask[28:36, 40:48] = 1.0
+    p = make_params(cfg, mask)
+    ref, ref_mon = run_chunk(init_state(ny, nx), p, 12)
+    out, mon = ps.run_chunk_pallas(
+        init_state(ny, nx), p, n_steps=12, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out.f), np.asarray(ref.f))
+    np.testing.assert_array_equal(np.asarray(out.u), np.asarray(ref.u))
+    np.testing.assert_allclose(
+        np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
+    )
