@@ -151,8 +151,12 @@ def make_params(
     inlet_profile = None
     if bc_types[SIDE_LEFT] == BC_VEL_INLET:
         u_max = float(np.asarray(bc["value"], np.float32)[SIDE_LEFT][0])
+        # computed IN the case dtype with the same op order the Pallas edge
+        # kernel uses ((4 u) * y * (h - y) / (h * h)), so the two paths are
+        # bitwise-identical at the inlet
+        np_dtype = np.dtype(jnp.dtype(dtype).name).type
         inlet_profile = jnp.asarray(
-            parabolic_profile(ny, u_max, np.float64), dtype
+            parabolic_profile(ny, u_max, np_dtype), dtype
         )
     obstacle = str(bc.get("obstacle", "equilibrium"))
     if obstacle not in ("equilibrium", "bounce_back"):

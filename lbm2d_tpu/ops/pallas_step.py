@@ -42,11 +42,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.lattice import E, W, PI_REF
+from ..core.lattice import E, OPP, W, PI_REF
 from ..core.solver import (
     BC_FREE_SLIP,
     BC_INLET,
     BC_OUTLET,
+    BC_VEL_INLET,
     CaseParams,
     LBMState,
     bc_horizontal_values,
@@ -121,15 +122,18 @@ def _unpack_aux(aux):
 def supports(p: CaseParams) -> bool:
     """True if the fused kernel implements this BC layout (all sides active:
     the in-kernel BCs rewrite the whole global ring each step).  The DFG
-    validation modes (profiled velocity inlet, bounce-back obstacles) fall
-    back to the jnp path."""
+    modes are covered too: bounce-back obstacles and the left-edge profiled
+    velocity inlet (type 3, parabolic profile recomputed in-kernel with the
+    same f32 op order make_params uses, so the paths stay bitwise-equal)."""
     lt, tt, rt, bt = p.bc_type
+    left_ok = lt in (BC_INLET, BC_FREE_SLIP) or (
+        lt == BC_VEL_INLET and p.inlet_profile is not None
+    )
     return (
-        lt in (BC_INLET, BC_FREE_SLIP)
+        left_ok
         and rt in (BC_INLET, BC_OUTLET, BC_FREE_SLIP)
         and tt in (BC_INLET, BC_FREE_SLIP)
         and bt in (BC_INLET, BC_FREE_SLIP)
-        and not p.bounce_obstacle
     )
 
 
@@ -305,12 +309,22 @@ def _apply_bc_band(
     # jnp.where merges, NOT arithmetic blends: unselected lanes may hold NaN
     # from uninitialized pad halos, and 0 * NaN = NaN.
     # left edge (global x = 0): lives in column tile j == 0, local col 0
-    if bc_type[0] in (BC_INLET, BC_FREE_SLIP):
+    if bc_type[0] in (BC_INLET, BC_FREE_SLIP, BC_VEL_INLET):
 
         def _left(f_new=f_new, rho=rho, ux=ux, uy=uy):
             nb = roll_x(-1)
+            prof = None
+            if bc_type[0] == BC_VEL_INLET:
+                # parabolic profile from global rows; SAME f32 op order as
+                # make_params/parabolic_profile -> bitwise equality
+                dtype = f_new.dtype
+                umax = scal_ref[0, _S_BCV + 0]
+                hm = jnp.asarray(float(Hg - 1), dtype)
+                yy = rows_g.astype(dtype)
+                prof = (4.0 * umax) * yy * (hm - yy) / (hm * hm)
             fb, rho_b, ux_b, uy_b = bc_left_values(
-                nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[0], rho_in
+                nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[0], rho_in,
+                u_prof=prof,
             )
             m = m_left() & inner
             return (
@@ -417,6 +431,7 @@ def _step_kernel(
     apply_bc: bool = True,
     pipelined: bool = False,
     NPROG: int = 0,
+    bounce: bool = False,
 ):
     """Each program owns one (BH, BW) tile: DMA the halo window in, compute
     the full update, DMA the tile out.
@@ -491,6 +506,11 @@ def _step_kernel(
         fs, damp, scal_ref[0, _S_TAU0], scal_ref[0, _S_CSF],
         scal_ref[0, _S_SG], use_les,
     )
+    if bounce:
+        # full-way bounce-back replaces collision on solid cells
+        # (archive/lbm_mrt/solver.py:181-195; jnp collide_stream_full)
+        f_bb = jnp.stack([fs[int(OPP[k])] for k in range(9)])
+        f_post = jnp.where(solid[None], f_bb, f_post)
     if f_post_ref is not None:
         f_post_ref[:] = f_post
 
@@ -596,7 +616,9 @@ def _step_kernel(
         def _():
             store_for(i - 2, slot).wait()
 
-        scratch_out[:] = jnp.where(solid[None], f_eq_rest, f_new)
+        scratch_out[:] = f_new if bounce else jnp.where(
+            solid[None], f_eq_rest, f_new
+        )
         if rho_ref is not None:
             rho_ref[:] = rho
             u_ref[0] = jnp.where(solid, 0.0, ux)
@@ -612,7 +634,9 @@ def _step_kernel(
         def _():
             store_for(i - 1, 1 - slot).wait()
     else:
-        scratch_out[:] = jnp.where(solid[None], f_eq_rest, f_new)
+        scratch_out[:] = f_new if bounce else jnp.where(
+            solid[None], f_eq_rest, f_new
+        )
         if rho_ref is not None:
             rho_ref[:] = rho
             u_ref[0] = jnp.where(solid, 0.0, ux)
@@ -629,11 +653,14 @@ def _step_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "use_les", "bc_type", "full", "interpret", "apply_bc"),
+    static_argnames=(
+        "dims", "use_les", "bc_type", "full", "interpret", "apply_bc",
+        "bounce",
+    ),
 )
 def _pallas_step(
     fp, aux_p, scalars, offs, h_lo, h_hi, dims, use_les, bc_type,
-    full, interpret, apply_bc=True, ec_buf=None, er_buf=None,
+    full, interpret, apply_bc=True, ec_buf=None, er_buf=None, bounce=False,
 ):
     """One fused lattice update. dims = (Hg, Wg, HL, WL, Hp, Wp, BH, BW, PX);
     single-chip passes HL == Hg, WL == Wg and offs None; the sharded path
@@ -673,7 +700,7 @@ def _pallas_step(
     dims_kw = dict(
         Hg=Hg, Wg=Wg, HL=HL, WL=WL, BH=BH, BW=BW, PX=PX,
         use_les=use_les, bc_type=bc_type, apply_bc=apply_bc,
-        pipelined=pipelined, NPROG=nprog,
+        pipelined=pipelined, NPROG=nprog, bounce=bounce,
     )
     if full:
         out_shape += [
@@ -823,6 +850,7 @@ def _edge_bc_kernel(
     CH: int,
     nch: int,
     bc_type,
+    bounce: bool = False,
 ):
     """Boundary-ring rewrite as a separate tiny kernel (split-BC mode).
 
@@ -910,13 +938,26 @@ def _edge_bc_kernel(
         f = s_col[:]
         mac = s_mc[:]
         rho, ux, uy = mac[0], mac[1], mac[2]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1)
+        g = y_off + g0 + row_ids  # global row (y_off = 0 single-chip)
 
         def nb(a):  # neighbor: col 1 (left) / col 126-of-128 (right)
             return pltpu.roll(a, (-1 if left else 1) % 128, axis=a.ndim - 1)
 
         if left:
+            prof = None
+            if bc_type[0] == BC_VEL_INLET:
+                # parabolic profile from global rows; same f32 op order as
+                # make_params/parabolic_profile -> bitwise equality
+                dtype = f.dtype
+                umax = scal_ref[0, _S_BCV + 0]
+                hm = jnp.asarray(float(Hg - 1), dtype)
+                yy = g.astype(dtype)
+                prof = (4.0 * umax) * yy * (hm - yy) / (hm * hm)
             vals = bc_left_values(
-                nb(f), nb(rho), nb(ux), nb(uy), ramp, bc_type[0], rho_in
+                nb(f), nb(rho), nb(ux), nb(uy), ramp, bc_type[0], rho_in,
+                u_prof=prof,
             )
         else:
             bcv2 = jnp.stack([scal_ref[0, _S_BCV + 4], scal_ref[0, _S_BCV + 5]])
@@ -924,9 +965,6 @@ def _edge_bc_kernel(
                 nb(f), nb(rho), nb(ux), nb(uy), ramp, bc_type[2], rho_out, bcv2
             )
         fb, rho_b, ux_b, uy_b = vals
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 1)
-        g = y_off + g0 + row_ids  # global row (y_off = 0 single-chip)
         m = (col_ids == (0 if left else 127)) & (g >= 1) & (g <= Hg - 2)
         if offs_ref is not None:
             # 2D mesh: only the shard owning the global left/right edge
@@ -941,10 +979,13 @@ def _edge_bc_kernel(
         # the BC change rho (elsewhere the main kernel already wrote the
         # identical f_eq, and with the combined ec layout the non-edge lanes
         # of mac belong to the OTHER side)
-        solid, _ = _unpack_aux(m_col[:])
-        solid = solid & (col_ids == (0 if left else 127))
-        f_eq_rest = jnp.stack([rho * wk for wk in w9])
-        s_col[:] = jnp.where(solid[None], f_eq_rest, f)
+        if bounce:
+            s_col[:] = f
+        else:
+            solid, _ = _unpack_aux(m_col[:])
+            solid = solid & (col_ids == (0 if left else 127))
+            f_eq_rest = jnp.stack([rho * wk for wk in w9])
+            s_col[:] = jnp.where(solid[None], f_eq_rest, f)
         store = pltpu.make_async_copy(
             s_col, fp_out_hbm.at[:, pl.ds(PY + g0, CH), pl.ds(x0, 128)], sem_a
         )
@@ -1011,16 +1052,19 @@ def _edge_bc_kernel(
         f = jnp.where(m[None], fb[:, None, :], f)
         rho = jnp.where(m, rho_b[None, :], mac[0])
 
-        solid, _ = _unpack_aux(m_rows[:])
-        f_eq_rest = jnp.stack([rho * wk for wk in w9])
-        s_rows[:] = jnp.where(solid[None], f_eq_rest, f)
+        if bounce:
+            s_rows[:] = f
+        else:
+            solid, _ = _unpack_aux(m_rows[:])
+            f_eq_rest = jnp.stack([rho * wk for wk in w9])
+            s_rows[:] = jnp.where(solid[None], f_eq_rest, f)
         store = pltpu.make_async_copy(
             s_rows, fp_out_hbm.at[:, pl.ds(r0, 8), pl.ds(PXs, Wp)], sem_a
         )
         store.start()
         store.wait()
 
-    if bc_type[0] in (BC_INLET, BC_FREE_SLIP):
+    if bc_type[0] in (BC_INLET, BC_FREE_SLIP, BC_VEL_INLET):
         for c in range(nch):
 
             @pl.when(i == c)
@@ -1048,10 +1092,11 @@ def _edge_bc_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("edims", "bc_type", "interpret")
+    jax.jit, static_argnames=("edims", "bc_type", "interpret", "bounce")
 )
 def _edge_bc_step(
-    fp, aux_p, ec, er, scalars, edims, bc_type, interpret, offs=None
+    fp, aux_p, ec, er, scalars, edims, bc_type, interpret, offs=None,
+    bounce=False,
 ):
     """Apply the boundary ring in place on the padded buffer (aliased I/O).
     edims = (H, W, Hp, Wp, PXs, Hg, Wg) with H/W the LOCAL block dims and
@@ -1073,7 +1118,7 @@ def _edge_bc_step(
         _edge_bc_kernel(
             scal, offs_r, *rest,
             H=H, Hg=Hg, H8=H8, W_=W_, Wg=Wg, Wp=Wp, PXs=PXs, CH=CH, nch=nch,
-            bc_type=bc_type,
+            bc_type=bc_type, bounce=bounce,
         )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -1216,15 +1261,17 @@ def run_chunk_pallas(
             fp_new, ec, er = _pallas_step(
                 fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, False,
-                ec_buf=ec, er_buf=er,
+                ec_buf=ec, er_buf=er, bounce=p.bounce_obstacle,
             )
             fp_new = _edge_bc_step(
-                fp_new, aux_s, ec, er, scal, edims, p.bc_type, interpret
+                fp_new, aux_s, ec, er, scal, edims, p.bc_type, interpret,
+                bounce=p.bounce_obstacle,
             )
         else:
             (fp_new,) = _pallas_step(
                 fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, True,
+                bounce=p.bounce_obstacle,
             )
         return (fp_new, ec, er, step), None
 
@@ -1245,7 +1292,7 @@ def run_chunk_pallas(
         aux_p = aux_s
     fp, rho_p, u_p, fpost_p = _pallas_step(
         fp, aux_p, scal, None, None, None, dims_full,
-        p.use_les, p.bc_type, True, interpret,
+        p.use_les, p.bc_type, True, interpret, bounce=p.bounce_obstacle,
     )
 
     f = fp[:, PY : PY + H, PX : PX + W_]

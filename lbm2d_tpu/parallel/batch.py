@@ -287,7 +287,11 @@ class BatchEngine:
             self.params = jax.tree.map(put, self.params)
             self.alive = put(self.alive)
 
-    def run_step(self, n: int = 1) -> Dict[str, np.ndarray]:
+    def run_step(self, n: int = 1, sync: bool = True):
+        """Advance n steps. ``sync=True`` returns host-side monitor arrays;
+        ``sync=False`` returns a packed DEVICE array (dispatch only) so the
+        caller can overlap other device->host transfers with the chunk's
+        compute and call :meth:`sync_monitors` afterwards."""
         if self.mesh is not None:
             self.state, self.alive, mon = _run_chunk_case_sharded(
                 self.state, self.params, self.alive, n_steps=n,
@@ -303,16 +307,21 @@ class BatchEngine:
         # ONE device->host transfer for all monitors: each np.asarray is a
         # tunnel round trip (~15ms on the remoted runtime), and three of
         # them per chunk measured ~20% of aggregate throughput
-        b = self.batch
-        packed = np.asarray(
-            jnp.concatenate(
-                [
-                    mon["force"].reshape(-1).astype(jnp.float32),
-                    mon["max_v"].astype(jnp.float32),
-                    mon["stable"].astype(jnp.float32),
-                ]
-            )
+        packed_dev = jnp.concatenate(
+            [
+                mon["force"].reshape(-1).astype(jnp.float32),
+                mon["max_v"].astype(jnp.float32),
+                mon["stable"].astype(jnp.float32),
+            ]
         )
+        if not sync:
+            return packed_dev
+        return self.sync_monitors(packed_dev)
+
+    def sync_monitors(self, packed_dev) -> Dict[str, np.ndarray]:
+        """Fetch and unpack a run_step(sync=False) monitor array."""
+        b = self.batch
+        packed = np.asarray(packed_dev)
         out = {
             "force": packed[: 2 * b].reshape(b, 2),
             "max_v": packed[2 * b : 3 * b],

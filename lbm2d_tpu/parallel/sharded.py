@@ -365,16 +365,17 @@ def run_chunk_sharded_pallas(
                 fp_new, ec, er = _pallas_step(
                     fp, aux_b, scal, None, h_lo, h_hi, dims,
                     p_l.use_les, p_l.bc_type, False, interpret, False,
-                    ec_buf=ec, er_buf=er,
+                    ec_buf=ec, er_buf=er, bounce=p_l.bounce_obstacle,
                 )
                 fp_new = _edge_bc_step(
                     fp_new, aux_b, ec, er, scal, edims, p_l.bc_type,
-                    interpret, offs=offs,
+                    interpret, offs=offs, bounce=p_l.bounce_obstacle,
                 )
                 return fp_new, ec, er
             return _pallas_step(
                 fp, aux_b, scal, offs, h_lo, h_hi, dims,
                 p_l.use_les, p_l.bc_type, full, interpret,
+                bounce=p_l.bounce_obstacle,
             )
 
         if split:

@@ -137,10 +137,32 @@ def run_lockstep_group(
         resizer = make_device_resizer(w0.crop_h, w0.crop_w, w0.target_h, w0.target_w)
     fail_reason: List[Optional[str]] = [None] * n_cases
     steps = 0
+
+    # Deferred-fetch pipeline: a save's device->host moment transfer is
+    # issued AFTER the next chunk has been dispatched, so it overlaps the
+    # chunk's device compute instead of serializing with it. On the
+    # remoted-TPU tunnel (measured 2-8 MB/s D2H) the transfer dominates the
+    # save cadence; overlap hides the compute entirely and the loop runs at
+    # max(compute, transfer) rather than their sum.
+    pending = None  # (device moments array, pre_resized flag)
+
+    def flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        dev, pre = pending
+        pending = None
+        moments = np.asarray(dev)
+        for b in range(n_cases):
+            if fail_reason[b] is None and writers[b] is not None:
+                writers[b].append(moments[b], pre_resized=pre)
+
     t0 = time.perf_counter()
     while steps < max_steps:
-        mon = engine.run_step(chunk)
+        mon_dev = engine.run_step(chunk, sync=False)
         steps += chunk
+        flush_pending()  # big transfer rides under the chunk's compute
+        mon = engine.sync_monitors(mon_dev)
         alive = engine.alive_mask
         for b in range(n_cases):
             if fail_reason[b] is None and not alive[b]:
@@ -156,15 +178,15 @@ def run_lockstep_group(
             and steps >= start_record
         ):
             if resizer is not None:
-                moments = np.asarray(resizer(engine.get_moments_device()[_crop]))
+                pending = (
+                    resizer(engine.get_moments_device()[_crop]), True
+                )
             else:
-                moments = engine.get_moments()  # [B, 9, H, W]
-            for b in range(n_cases):
-                if fail_reason[b] is None and writers[b] is not None:
-                    writers[b].append(moments[b], pre_resized=resizer is not None)
+                pending = (engine.get_moments_device(), False)
         if progress and steps % (chunk * 50) == 0:
             done = steps / max_steps
             print(f"  [lockstep x{n_cases}] {steps}/{max_steps} ({done:.0%})")
+    flush_pending()
     wall = time.perf_counter() - t0
 
     u_np = np.asarray(engine.state.u)  # [B, 2, H, W]

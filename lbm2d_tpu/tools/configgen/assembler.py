@@ -22,7 +22,14 @@ def build_config(
     nu_lb = case_result["nu_lb"]
     rho_in = case_result["rho_in_case"]
     mask_stem = mask_ctx["mask_stem"]
-    sim_name = "_".join(mask_stem.split("_")[:2])
+    # The reference derives sim_name from the mask stem alone
+    # (config_assembler.py:39-44), which COLLIDES when the all-feasible-nu
+    # expansion emits several configs per mask: their h5/mp4/summary keys
+    # would overwrite each other (the reference's practical path samples one
+    # nu per mask, so it never hit this). Append the nu tag so every case's
+    # outputs are unique.
+    nu_str = f"{nu_lb:.4f}".replace(".", "-")
+    sim_name = "_".join(mask_stem.split("_")[:2]) + f"_Nu{nu_str}"
 
     sim = config["simulation"]
     sim["name"] = sim_name
@@ -63,7 +70,6 @@ def build_config(
     config["boundary_condition"]["value"] = [[0.05, 0.0]] + [[0.0, 0.0]] * 3
     config["mask"]["path"] = mask_ctx["mask_path"]
 
-    nu_str = f"{nu_lb:.4f}".replace(".", "-")
     config_filename = f"{mask_stem}_cfg_Nu{nu_str}.yaml"
     full_path = os.path.join(sim_ctx["output_dir"], config_filename)
     case_result["config_filename"] = config_filename

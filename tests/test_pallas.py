@@ -142,3 +142,41 @@ def test_pipelined_band_path_matches_jnp(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
     )
+
+
+def test_dfg_modes_in_kernel_match_jnp():
+    """Bounce-back obstacles + parabolic velocity inlet (type 3) now run in
+    the fused kernel: near-bitwise vs the jnp path -- the in-kernel profile
+    recomputation matches make_params' f32 op order, but XLA rounds the
+    mul/div chain differently on a few rows (observed 3/41472 cells at
+    1 ulp), so the inlet comparison allows 1e-8."""
+    from lbm2d_tpu.ops.pallas_step import supports
+
+    nx, ny = 96, 48
+    cfg = tiny_config(nx=nx, ny=ny)
+    cfg["boundary_condition"] = {
+        "type": [3, 0, 1, 0],
+        "value": [[0.08, 0.0]] + [[0.0, 0.0]] * 3,
+        "obstacle": "bounce_back",
+    }
+    cfg["simulation"]["smagorinsky_constant"] = 0.0
+    mask = np.zeros((ny, nx), np.float32)
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    mask[(yy - ny // 2) ** 2 + (xx - 20) ** 2 < 36] = 1.0
+    p = make_params(cfg, mask)
+    assert supports(p) and p.bounce_obstacle
+
+    ref, ref_mon = run_chunk(init_state(ny, nx), p, 12)
+    out, mon = run_chunk_pallas(init_state(ny, nx), p, n_steps=12, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.f), np.asarray(ref.f), rtol=0, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(ref.u), rtol=0, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.f_post), np.asarray(ref.f_post), rtol=0, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
+    )
