@@ -138,6 +138,55 @@ def run_lockstep_group(
     fail_reason: List[Optional[str]] = [None] * n_cases
     steps = 0
 
+    # Group-level in-case checkpointing (mirrors run_one_case's per-case
+    # checkpoint semantics): the whole lockstep state (batched f/f_post/
+    # rho/u, alive flags, step counter) snapshots atomically every
+    # interval; a rerun with resume enabled restarts the surviving group
+    # from the snapshot instead of step 0. Like the serial path, dataset
+    # writers restart fresh from the resume point.
+    ckpt_cfg = cfg0["outputs"].get("checkpoint", {})
+    ckpt_path = None
+    ckpt_interval = 0
+    if ckpt_cfg.get("enable"):
+        import hashlib
+
+        gid = hashlib.sha1(
+            "|".join(f for f, _ in members).encode()
+        ).hexdigest()[:12]
+        ckpt_path = os.path.join(
+            output_dirs["raw"], f".lockstep_ckpt_{gid}.npz"
+        )
+        ckpt_interval = int(ckpt_cfg.get("interval_steps", 0))
+        if ckpt_cfg.get("resume") and os.path.exists(ckpt_path):
+            with np.load(ckpt_path) as z:
+                if int(z["n_cases"]) == n_cases:
+                    import jax.numpy as jnp
+
+                    engine.state = engine.state.replace(
+                        f=jnp.asarray(z["f"]),
+                        f_post=jnp.asarray(z["f_post"]),
+                        rho=jnp.asarray(z["rho"]),
+                        u=jnp.asarray(z["u"]),
+                        step=jnp.asarray(z["step"]),
+                    )
+                    engine.alive = jnp.asarray(z["alive"])
+                    steps = int(z["steps"])
+                    print(f"[Checkpoint] group resumed at step {steps}")
+
+    def save_group_ckpt():
+        # temp file + os.replace: a crash mid-write never corrupts the only
+        # restart state (same pattern as engine.save_checkpoint)
+        tmp = ckpt_path + ".tmp"
+        st = engine.state
+        with open(tmp, "wb") as fh:
+            np.savez(
+                fh, f=np.asarray(st.f), f_post=np.asarray(st.f_post),
+                rho=np.asarray(st.rho), u=np.asarray(st.u),
+                step=np.asarray(st.step), alive=np.asarray(engine.alive),
+                steps=steps, n_cases=n_cases,
+            )
+        os.replace(tmp, ckpt_path)
+
     # Deferred-fetch pipeline: a save's device->host moment transfer is
     # issued AFTER the next chunk has been dispatched, so it overlaps the
     # chunk's device compute instead of serializing with it. On the
@@ -183,11 +232,19 @@ def run_lockstep_group(
                 )
             else:
                 pending = (engine.get_moments_device(), False)
+        if (
+            ckpt_path
+            and ckpt_interval
+            and steps % ckpt_interval < chunk
+        ):
+            save_group_ckpt()
         if progress and steps % (chunk * 50) == 0:
             done = steps / max_steps
             print(f"  [lockstep x{n_cases}] {steps}/{max_steps} ({done:.0%})")
     flush_pending()
     wall = time.perf_counter() - t0
+    if ckpt_path and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)  # completed groups don't need restart state
 
     u_np = np.asarray(engine.state.u)  # [B, 2, H, W]
     entries = []
