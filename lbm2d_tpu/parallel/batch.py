@@ -108,21 +108,37 @@ def _chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret):
     Advances B cases one after another through the fused Pallas kernel
     inside ONE traced program (per-case host dispatches through the
     tunneled runtime cost ~25% aggregate throughput: 6709 -> 8320 MLUPS at
-    1024^2, B=4). Dead cases still compute but their results are
-    where-discarded -- identical semantics to the vmap lockstep's
-    per-step freeze."""
+    1024^2, B=4). Dead cases SKIP their chunk via lax.cond -- same observable
+    freeze semantics as the vmap lockstep, without burning kernel time on a
+    diverged case."""
     from ..ops.pallas_step import run_chunk_pallas
 
     news, forces, maxvs, stables = [], [], [], []
     for i in range(batch):
         st_i = jax.tree.map(lambda x: x[i], state_b)
         p_i = jax.tree.map(lambda x: x[i], p_b)
-        new_i, _ = run_chunk_pallas(
-            st_i, p_i, n_steps=n_steps, interpret=interpret
-        )
-        new_i = jax.tree.map(
-            lambda n, o: jnp.where(alive[i], n, o), new_i, st_i
-        )
+        # Small batches use lax.cond: a dead case SKIPS its chunk at runtime
+        # instead of computing and discarding it, and the where-select
+        # fusion pattern crashed the TPU compiler at exactly B = 4
+        # (bisected; B in {2, 8, 16, 64} compiled fine). Large batches keep
+        # the where-freeze -- cond's branch buffering raised peak HBM enough
+        # to OOM B = 64 at 1024^2 (5.4GB of state).
+        if batch <= 8:
+            new_i = jax.lax.cond(
+                alive[i],
+                lambda s, pp=p_i: run_chunk_pallas(
+                    s, pp, n_steps=n_steps, interpret=interpret
+                )[0],
+                lambda s: s,
+                st_i,
+            )
+        else:
+            new_i, _ = run_chunk_pallas(
+                st_i, p_i, n_steps=n_steps, interpret=interpret
+            )
+            new_i = jax.tree.map(
+                lambda n, o: jnp.where(alive[i], n, o), new_i, st_i
+            )
         force = force_on_obstacle(new_i.f_post, p_i.mask)
         max_v = max_velocity(new_i.u)
         stables.append(

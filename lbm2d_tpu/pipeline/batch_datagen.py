@@ -90,8 +90,17 @@ def run_lockstep_group(
     device_resize: bool = False,
     runner: str = "auto",
     n_devices: Optional[int] = None,
+    f16_transfer: bool = False,
 ) -> List[Dict[str, Any]]:
-    """Run one same-shape group in lockstep; returns per-case summary entries."""
+    """Run one same-shape group in lockstep; returns per-case summary entries.
+
+    ``f16_transfer`` casts the saved moment frames to float16 ON DEVICE
+    before the device->host fetch, halving transfer bytes. The HDF5 stays
+    float32 (values f16-quantized, ~5e-4 relative); the downstream zarr
+    dataset is float16 anyway (h5_to_zarr pass 2), so the end artifact
+    loses nothing. Off by default; meant for transfer-bound links (the
+    remoted-TPU tunnel measured 2-8 MB/s D2H).
+    """
     cfg0 = members[0][1]
     sim0 = cfg0["simulation"]
     chunk = int(sim0["compute_step_size"])
@@ -202,6 +211,8 @@ def run_lockstep_group(
         dev, pre = pending
         pending = None
         moments = np.asarray(dev)
+        if moments.dtype != np.float32:
+            moments = moments.astype(np.float32)
         for b in range(n_cases):
             if fail_reason[b] is None and writers[b] is not None:
                 writers[b].append(moments[b], pre_resized=pre)
@@ -227,11 +238,16 @@ def run_lockstep_group(
             and steps >= start_record
         ):
             if resizer is not None:
-                pending = (
-                    resizer(engine.get_moments_device()[_crop]), True
-                )
+                dev = resizer(engine.get_moments_device()[_crop])
+                pre = True
             else:
-                pending = (engine.get_moments_device(), False)
+                dev = engine.get_moments_device()
+                pre = False
+            if f16_transfer:
+                import jax.numpy as jnp
+
+                dev = dev.astype(jnp.float16)
+            pending = (dev, pre)
         if (
             ckpt_path
             and ckpt_interval
@@ -313,6 +329,7 @@ def run_batched(
     device_resize: bool = False,
     runner: str = "auto",
     n_devices: Optional[int] = None,
+    f16_transfer: bool = False,
 ) -> Dict[str, int]:
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -344,7 +361,7 @@ def run_batched(
             results_store.set_status(fname, results_store.STATUS_RUNNING, sim_results_path)
         entries = run_lockstep_group(
             members, project_paths, output_dirs, progress, device_resize,
-            runner=runner, n_devices=n_devices,
+            runner=runner, n_devices=n_devices, f16_transfer=f16_transfer,
         )
         for entry in entries:
             fname = entry["config_filename"]
@@ -390,10 +407,16 @@ def main() -> None:
         "--n_devices", type=int, default=None,
         help="device count for --runner sharded (default: all local devices)",
     )
+    ap.add_argument(
+        "--f16_transfer", action="store_true",
+        help="cast saved frames to f16 on device before the host fetch "
+        "(halves transfer bytes; the downstream zarr dataset is f16 anyway)",
+    )
     args = ap.parse_args()
     run_batched(
         args.project_name, args.max_batch, device_resize=args.device_resize,
         runner=args.runner, n_devices=args.n_devices,
+        f16_transfer=args.f16_transfer,
     )
 
 

@@ -230,3 +230,26 @@ def test_lockstep_group_checkpoint_resume(tmp_path):
         "resumed group diverged from the uninterrupted run"
     )
     assert not os.path.exists(ckpt), "completed group must remove its checkpoint"
+
+
+def test_f16_transfer_quantizes_but_matches(tmp_path):
+    """--f16_transfer output equals the f32 path to f16 precision and keeps
+    the f32 HDF5 dtype contract."""
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    os.makedirs(root_a)
+    os.makedirs(root_b)
+    make_two_case_project(root_a, name="FP")
+    make_two_case_project(root_b, name="FP")
+    run_batched("FP", max_batch=8, root=root_a, progress=False)
+    run_batched("FP", max_batch=8, root=root_b, progress=False, f16_transfer=True)
+    for case in ("mask_00_Nu0-0500", "mask_00_Nu0-0300"):
+        with h5py.File(
+            os.path.join(root_a, "outputs/FP/raw", f"{case}.h5")
+        ) as fa, h5py.File(
+            os.path.join(root_b, "outputs/FP/raw", f"{case}.h5")
+        ) as fb:
+            ta, tb = fa["turbulence"][:], fb["turbulence"][:]
+            assert tb.dtype == np.float32  # storage contract unchanged
+            np.testing.assert_allclose(ta, tb, rtol=1e-3, atol=2e-3)
+            assert not np.array_equal(ta, tb)  # really quantized
