@@ -36,7 +36,7 @@ def main() -> None:
     # warmup: compile AND reach steady clocks -- a cold chip measures ~6%
     # slower for the first ~2000 steps (9.1k vs 9.7k+ MLUPS), so the warmup
     # must be sustained load, not just one compile pass
-    for _ in range(4):
+    for _ in range(8):
         state, mon = run_chunk(state, p, n_steps=steps_per_chunk)
     sync(mon)
 
