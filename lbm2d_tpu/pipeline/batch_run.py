@@ -59,6 +59,7 @@ def run_batch(
     max_success: int | None = None,
     root: str = ".",
     progress: bool = True,
+    device_resize: bool = False,
 ) -> Dict[str, int]:
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -127,7 +128,8 @@ def run_batch(
 
         wall_t0 = time.perf_counter()
         entry = case_executor.execute_case(
-            full_config_path, project_paths, output_dirs, job_id, progress=progress
+            full_config_path, project_paths, output_dirs, job_id,
+            progress=progress, device_resize=device_resize,
         )
         wall_time_s = time.perf_counter() - wall_t0
         entry["wall_time_s"] = round(wall_time_s, 2)
@@ -176,8 +178,14 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="Multi-case LBM batch runner.")
     ap.add_argument("--project_name", type=str, required=True)
     ap.add_argument("--max_success", type=int, default=None)
+    ap.add_argument(
+        "--device_resize", action="store_true",
+        help="crop+resize dataset frames on device before the host fetch "
+        "(ships [9,256,W'] instead of the full grid; overlapped with the "
+        "next chunk's compute)",
+    )
     args = ap.parse_args()
-    run_batch(args.project_name, args.max_success)
+    run_batch(args.project_name, args.max_success, device_resize=args.device_resize)
 
 
 if __name__ == "__main__":

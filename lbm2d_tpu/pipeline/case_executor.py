@@ -35,6 +35,7 @@ def execute_case(
     output_dirs: Dict[str, str],
     job_id: int,
     progress: bool = True,
+    device_resize: bool = False,
 ) -> Dict[str, Any]:
     h5_path = ""
     video_path = ""
@@ -53,7 +54,8 @@ def execute_case(
         video_path = os.path.join(output_dirs["vis"], f"{sim_name}.mp4")
 
         lattice_metadata = run_one_case.main(
-            full_config_path, mask_path, h5_path, video_path, progress=progress
+            full_config_path, mask_path, h5_path, video_path,
+            progress=progress, device_resize=device_resize,
         )
         if lattice_metadata.get("status") != "Success":
             raise RuntimeError(f"Simulation failed: {lattice_metadata.get('reason')}")

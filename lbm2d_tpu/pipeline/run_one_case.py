@@ -71,6 +71,7 @@ def main(
     h5_output_path: Optional[str],
     video_output_path: Optional[str],
     progress: bool = True,
+    device_resize: bool = False,
 ) -> Dict[str, Any]:
     metadata: Dict[str, Any] = {"status": "Failed", "reason": "Unknown error"}
     engine = composer = recorder = writer = None
@@ -105,6 +106,7 @@ def main(
                 checkpoint_path=ckpt_path,
                 checkpoint_interval=ckpt_interval,
                 progress=progress,
+                device_resize=device_resize,
             )
         )
         if ckpt_path and metadata.get("status") == "Success":

@@ -31,6 +31,7 @@ def run_simulation_loop(
     checkpoint_path: Optional[str] = None,
     checkpoint_interval: int = 0,
     progress: bool = True,
+    device_resize: bool = False,
 ) -> Dict[str, Any]:
     sim_cfg = config["simulation"]
     out_cfg = config["outputs"]
@@ -47,6 +48,34 @@ def run_simulation_loop(
     current_steps = int(engine.step_count)
     exit_status = "Success"
     exit_reason = "Reached max_steps"
+
+    # Optional on-device dataset resize + deferred fetch (same design as the
+    # lockstep path, pipeline/batch_datagen.py): crop+area-average on the
+    # TPU so the device->host transfer ships [9, 256, W'] instead of the
+    # full grid, and issue that transfer AFTER the next chunk is dispatched
+    # so it overlaps compute. Essential on transfer-bound links (the
+    # remoted-TPU tunnel measures 2-8 MB/s D2H; a full-grid fetch is ~35s).
+    resizer = None
+    _crop = None
+    if device_resize and writer is not None:
+        from ..ops.resize import make_device_resizer
+
+        w0 = writer.writer
+        _crop = (slice(None), w0.slice_y, w0.slice_x)
+        resizer = make_device_resizer(
+            w0.crop_h, w0.crop_w, w0.target_h, w0.target_w
+        )
+    pending_moments = None
+
+    def flush_pending():
+        nonlocal pending_moments
+        if pending_moments is None:
+            return 0.0
+        t0 = time.perf_counter()
+        moments = np.asarray(pending_moments)
+        pending_moments = None
+        writer.append(moments, pre_resized=True)
+        return (time.perf_counter() - t0) * 1000
     timings = {"compute": 0.0, "viz_proc": 0.0, "video_io": 0.0, "moment_fetch": 0.0, "hdf5_io": 0.0}
 
     pbar = None
@@ -62,6 +91,9 @@ def run_simulation_loop(
         while current_steps < max_steps:
             t0 = time.perf_counter()
             engine.run_step(chunk)
+            # the previous data step's resized frame rides under this
+            # chunk's device compute
+            timings["moment_fetch"] = flush_pending()
             forces = engine.get_force()
             max_v = engine.get_max_velocity()
             current_steps += chunk
@@ -111,12 +143,18 @@ def run_simulation_loop(
                 and current_steps >= start_record
             )
             if is_data_step and writer:
-                t0 = time.perf_counter()
-                moments = engine.get_moments()
-                timings["moment_fetch"] = (time.perf_counter() - t0) * 1000
-                t0 = time.perf_counter()
-                writer.append(moments)
-                timings["hdf5_io"] = (time.perf_counter() - t0) * 1000
+                if resizer is not None:
+                    # queue the device-resized frame; fetched next iteration
+                    pending_moments = resizer(
+                        engine.get_moments_device()[_crop]
+                    )
+                else:
+                    t0 = time.perf_counter()
+                    moments = engine.get_moments()
+                    timings["moment_fetch"] = (time.perf_counter() - t0) * 1000
+                    t0 = time.perf_counter()
+                    writer.append(moments)
+                    timings["hdf5_io"] = (time.perf_counter() - t0) * 1000
 
             if (
                 checkpoint_path
@@ -143,6 +181,7 @@ def run_simulation_loop(
 
         traceback.print_exc()
     finally:
+        flush_pending()  # trailing queued frame (loop end or break)
         if pbar:
             pbar.close()
 

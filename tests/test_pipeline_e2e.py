@@ -201,3 +201,37 @@ def test_batch_run_end_to_end(tmp_path):
     result2 = run_batch("TestProj", root=root, progress=False)
     assert result2["success"] == 0
     assert result2["skipped"] == 1
+
+
+def test_serial_device_resize_matches_host_path(tmp_path):
+    """batch_run --device_resize: on-device crop+resize frames must match
+    the host cv2.INTER_AREA path (~1e-6) with identical artifact layout."""
+    import h5py
+    from lbm2d_tpu.pipeline.batch_run import run_batch
+
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    os.makedirs(root_a)
+    os.makedirs(root_b)
+    import yaml
+
+    for root in (root_a, root_b):
+        cfg_name = make_project(root, name="DR")
+        path = os.path.join(root, "SimCases", "DR", "configs", cfg_name)
+        with open(path) as fh:
+            cfg = yaml.safe_load(fh)
+        cfg["outputs"]["video"]["enable"] = False
+        with open(path, "w") as fh:
+            yaml.safe_dump(cfg, fh, sort_keys=False)
+
+    run_batch("DR", root=root_a, progress=False)
+    run_batch("DR", root=root_b, progress=False, device_resize=True)
+
+    with h5py.File(
+        os.path.join(root_a, "outputs/DR/raw/mask_00_Nu0-0500.h5")
+    ) as fa, h5py.File(
+        os.path.join(root_b, "outputs/DR/raw/mask_00_Nu0-0500.h5")
+    ) as fb:
+        ta, tb = fa["turbulence"][:], fb["turbulence"][:]
+        assert ta.shape == tb.shape
+        np.testing.assert_allclose(ta, tb, rtol=0, atol=2e-5)
