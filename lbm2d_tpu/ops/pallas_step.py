@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.lattice import E, OPP, W, PI_REF
+from .device_specs import budgets
 from ..core.solver import (
     BC_FREE_SLIP,
     BC_INLET,
@@ -69,23 +70,33 @@ LANE = 128
 # (1024^2 collapses 10.1k -> 5.1k at 64MB), so the limit is computed
 # per-geometry: the minimum that fits the band scratch plus the ec/er
 # export strips (which XLA allocates on the scoped stack, layout S(1),
-# despite their HBM spec).
+# despite their HBM spec). All absolute budgets come from
+# device_specs.budgets() -- v5e-calibrated fractions of physical VMEM,
+# scaled per device generation.
 _MB = 1024 * 1024
 
 # fast-step bands pipeline across grid programs once the padded f buffer
-# exceeds this size: smaller problems run "VMEM-resident" (XLA keeps the
-# buffers on-chip; 1024^2 = 37MB measures ~88us/Mcell vs ~360 beyond) and
-# gain nothing from manual overlap. Tests shrink it to exercise the path in
+# exceeds budgets().pipeline_min_bytes: smaller problems run "VMEM-resident"
+# (XLA keeps the buffers on-chip; 1024^2 = 37MB measures ~88us/Mcell vs
+# ~360 beyond) and gain nothing from manual overlap. Tests shrink this
+# module override (None = use the device budget) to exercise the path in
 # interpret mode.
-_PIPELINE_MIN_BYTES = 48 * 1024 * 1024
+_PIPELINE_MIN_BYTES = None
+
+
+def _pipeline_min_bytes():
+    if _PIPELINE_MIN_BYTES is not None:
+        return _PIPELINE_MIN_BYTES
+    return budgets().pipeline_min_bytes
 
 
 def _vmem_limit(Hp, Wp, BW, PX, export, ec_w, pipelined=False, BH=0):
-    limit = 16 * _MB
+    b = budgets()
+    limit = b.base_limit_bytes
     if export:
         limit += 4 * (3 * Hp * ec_w + 48 * Wp)  # scoped ec + er outputs
     if BW + 2 * PX >= 4096:
-        limit = max(limit, 40 * _MB)  # 64-row bands at 4096 lanes
+        limit = max(limit, b.wide_limit_bytes)  # taller bands at 4096 lanes
     if pipelined:
         # two-slot band scratch + ~16 temp planes + export strips + slack
         need = (
@@ -157,7 +168,7 @@ def _pick_tiles(h: int, w: int):
     rows H-1 and H-2 together (top-BC locality); column tiles must keep
     cols W-1 and W-2 together (right-BC locality).
     """
-    budget = 12 * 1024 * 1024 // 4  # leave ~4MB headroom of the 16MB core
+    budget = budgets().tile_budget_floats  # ~4MB headroom under the scoped limit
     wp128 = _round_up(w, LANE)
     # Full-width row bands measured FASTER than column tiles even at 4096^2
     # (2425 vs 2121 MLUPS): per-program overhead beats the halo re-read cost
@@ -190,7 +201,8 @@ def _pick_split_tiles(h: int, w: int, px: int = 0):
     same; both are per-program-overhead-bound at that size (~330 GB/s
     effective vs the 945 GB/s ceiling). Column tiles remain available via
     the tiles override and are parity-tested."""
-    budget = 13 * 1024 * 1024 // 4  # floats (13MB of the 16MB core)
+    b = budgets()
+    budget = b.split_budget_floats  # floats (13MB of the 16MB core on v5e)
     wp128 = _round_up(w, 128)
     bw = wp128
     # lane-roll streaming (px == 0) holds ~18 planes/row (19 before the
@@ -199,9 +211,10 @@ def _pick_split_tiles(h: int, w: int, px: int = 0):
     planes = 18 if px == 0 else 32
     if bw >= 4096 and px == 0:
         # wide grids: the scoped-VMEM limit is raised per-geometry
-        # (_vmem_limit) so 64-row bands fit; 128-row bands need a ~72MB
-        # limit, deep in the range that strangles XLA's workspace, for +1%
-        return min(64, _round_up(h, 16)), bw, px
+        # (_vmem_limit) so 64-row bands fit on a 128MB-VMEM core; 128-row
+        # bands need a ~72MB limit, deep in the range that strangles XLA's
+        # workspace, for +1%
+        return min(b.wide_band_rows, _round_up(h, 16)), bw, px
     # cap 128: with the single packed-aux blocked input (saves 2 pipeline
     # buffers, ~1MB at BH=128) 128-row bands fit scoped VMEM even in
     # programs that inline several chunk calls (the fused batch runner);
@@ -695,7 +708,7 @@ def _pallas_step(
     fp_bytes = 4 * 9 * (Hp + 2 * PY) * (Wp + 2 * PX)
     pipelined = (
         export and PX == 0 and grid[1] == 1
-        and fp_bytes >= _PIPELINE_MIN_BYTES
+        and fp_bytes >= _pipeline_min_bytes()
     )
     dims_kw = dict(
         Hg=Hg, Wg=Wg, HL=HL, WL=WL, BH=BH, BW=BW, PX=PX,
@@ -1146,7 +1159,8 @@ def _edge_bc_step(
         ],
         input_output_aliases={2 if sharded else 1: 0, 5 if sharded else 4: 1},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=16 * _MB + 4 * (3 * Hp * ec.shape[2] + 48 * Wp)
+            vmem_limit_bytes=budgets().base_limit_bytes
+            + 4 * (3 * Hp * ec.shape[2] + 48 * Wp)
         ),
         scratch_shapes=[
             pltpu.VMEM((9, CH, 128), dtype),
@@ -1232,10 +1246,10 @@ def run_chunk_pallas(
         # pick the largest full-step band that divides the split-mode Hp
         # and fits scoped VMEM (~53 live planes/row with the output blocks)
         cands = [bh_full, bh_fast // 2, bh_fast // 4, 16, 8]
+        full_budget = budgets().full_budget_floats
         bh_full = next(
             b for b in cands
-            if b and Hp % b == 0
-            and (53 * b + 144) * Wp <= 12 * 1024 * 1024 // 4
+            if b and Hp % b == 0 and (53 * b + 144) * Wp <= full_budget
         )
     dims_fast = (H, W_, H, W_, Hp, Wp_s, bh_fast, BW_s, PX_s)
     dims_full = (H, W_, H, W_, Hp, Wp, bh_full, BW, PX)

@@ -248,7 +248,10 @@ def _pick_shard_tiles(hl: int, wp: int, px: int):
     from SMEM), which Mosaic cannot constant-fold -- measured ~60 live f32
     planes per band row at 1024 lanes vs ~41 for the single-chip kernel --
     so bands are shorter than single-chip (48 vs 80 at wp = 1024)."""
-    budget = 14 * 1024 * 1024 // 4  # floats; leave 2MB of the 16MB core
+    from ..ops.device_specs import budgets
+
+    # v5e calibration: 14MB of the 16MB scoped default; scaled per device
+    budget = budgets().split_budget_floats + 1024 * 1024 // 4
     bh = 256
     while bh > 16 and (60 * bh + 9 * 2 * 8 + 2 * 9 * 8) * (wp + 2 * px) > budget:
         bh -= 16
@@ -315,11 +318,13 @@ def run_chunk_sharded_pallas(
         hp_s = _round_up(hl, bh_fast)
         # the chunk-closing full step keeps the traced-mask in-kernel BCs
         # plus rho/u/f_post output blocks: ~92 live planes per band row
+        from ..ops.device_specs import budgets
+
+        full_budget = budgets().split_budget_floats + 1024 * 1024 // 4
         bh_full = next(
             b for b in (48, 32, 16, 8)
             if hp_s % b == 0
-            and (92 * b + 160) * (_round_up(wl, 128) + 2 * PXs)
-            <= 14 * 1024 * 1024 // 4
+            and (92 * b + 160) * (_round_up(wl, 128) + 2 * PXs) <= full_budget
         )
     Hp = _round_up(hl, bh_fast)
     Wp = _round_up(wl, BW)
