@@ -304,6 +304,76 @@ def test_batch_case_sharded_rejects_indivisible():
         BatchEngine(cfgs, masks, runner="sharded")
 
 
+def _run_split_bc_mesh_case(nx, ny, mesh_shape, n_steps, vmem_mb=None):
+    """Split-BC sharded-pallas vs serial run_chunk on one mesh geometry.
+
+    ``vmem_mb`` overrides the device spec so _pick_split_tiles picks short
+    bands on a small grid -- the cheap interpret-mode way to exercise shards
+    with MULTIPLE interior bands (the 4096^2 production structure, where
+    band/halo bookkeeping spans several grid programs per shard)."""
+    from lbm2d_tpu.ops import device_specs as ds
+    from lbm2d_tpu.ops.pallas_step import _pick_split_tiles
+
+    try:
+        if vmem_mb is not None:
+            ds.set_spec_override(
+                ds.TpuSpec(f"synthetic-{vmem_mb}", vmem_mb * 1024 * 1024, 819)
+            )
+        rys, rxs = mesh_shape
+        hl, wl = ny // rys, nx // rxs
+        bh, _, _ = _pick_split_tiles(hl, wl, 0 if rxs == 1 else 128)
+        n_bands = -(-hl // bh)
+        if vmem_mb is not None:
+            assert n_bands >= 2, (
+                f"geometry not exercising multi-band shards: hl={hl} bh={bh}"
+            )
+
+        cfg = grid_config(nx, ny)
+        mask = block_mask(ny, nx)
+        p = make_params(cfg, mask)
+        ref_state, ref_mon = run_chunk(init_state(ny, nx), p, n_steps)
+
+        ndev = rys * rxs
+        mesh = make_mesh(shape=mesh_shape, devices=jax.devices()[:ndev])
+        st_sh, p_sh = shard_state(
+            init_state(ny, nx), make_params(cfg, mask), mesh
+        )
+        sh_state, sh_mon = run_chunk_sharded_pallas(
+            st_sh, p_sh, n_steps=n_steps, mesh=mesh, ny=ny, nx=nx,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_state.f), np.asarray(ref_state.f), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_state.u), np.asarray(ref_state.u), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]),
+            atol=1e-4,
+        )
+    finally:
+        ds.set_spec_override(None)
+
+
+def test_sharded_pallas_split_bc_2d_mesh_multiband():
+    """2x2 mesh, 4 interior bands per shard (synthetic 16MB-VMEM spec forces
+    16-row bands on 64-row shards): halo rows cross band boundaries inside
+    each shard exactly like the 4096^2 production shards (VERDICT round-2
+    weak #7)."""
+    assert len(jax.devices()) >= 4
+    _run_split_bc_mesh_case(nx=256, ny=128, mesh_shape=(2, 2), n_steps=10,
+                            vmem_mb=16)
+
+
+def test_sharded_pallas_split_bc_nonsquare_mesh():
+    """Non-square 2x4 mesh (8 shards, x-sharded into 128-lane blocks) with
+    2 interior bands per shard (VERDICT round-2 weak #7)."""
+    assert len(jax.devices()) >= 8
+    _run_split_bc_mesh_case(nx=512, ny=64, mesh_shape=(2, 4), n_steps=10,
+                            vmem_mb=16)
+
+
 def test_sharded_pallas_split_bc_2d_mesh():
     """Split-BC fast path on a 2D mesh (x sharded): the band kernel streams
     through a REAL 128-lane x-halo refreshed by ppermute, and the edge
