@@ -117,9 +117,12 @@ class LBMEngine:
             import jax.numpy as jnp
 
             if self._last_monitors is None:
-                from .solver import force_on_obstacle, max_velocity
+                from .solver import max_velocity, obstacle_force
 
-                force = force_on_obstacle(self.state.f_post, self.params.mask)
+                force = obstacle_force(
+                    self.state.f_post, self.params.mask,
+                    self.params.halfway_obstacle,
+                )
                 max_v = max_velocity(self.state.u)
             else:
                 force = self._last_monitors["force"]

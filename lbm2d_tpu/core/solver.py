@@ -85,6 +85,13 @@ class CaseParams:
     # bounce-back f_new <- streamed f reversed (archive/lbm_mrt/
     # solver.py:181-195) -- the no-slip variant DFG validation needs.
     bounce_obstacle: bool = struct.field(pytree_node=False, default=False)
+    # Half-way bounce-back (obstacle = "bounce_back_halfway"): a pull from a
+    # solid neighbor returns this cell's own opposite post-collision
+    # population, placing the wall midway along the link -- second-order
+    # accurate and without full-way's one-step reflection lag (the known fix
+    # for the full-way wall-location bias in the DFG St measurement).
+    # NEW vs the reference (its archive solver is full-way only).
+    halfway_obstacle: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):
@@ -159,7 +166,7 @@ def make_params(
             parabolic_profile(ny, u_max, np_dtype), dtype
         )
     obstacle = str(bc.get("obstacle", "equilibrium"))
-    if obstacle not in ("equilibrium", "bounce_back"):
+    if obstacle not in ("equilibrium", "bounce_back", "bounce_back_halfway"):
         raise ValueError(f"unknown boundary_condition.obstacle {obstacle!r}")
     c_smag = float(sim["smagorinsky_constant"])
     return CaseParams(
@@ -176,6 +183,7 @@ def make_params(
         use_les=c_smag > 0.001,
         bc_type=tuple(bc_types),
         bounce_obstacle=obstacle == "bounce_back",
+        halfway_obstacle=obstacle == "bounce_back_halfway",
     )
 
 
@@ -353,6 +361,20 @@ def mrt_collide(fs: jnp.ndarray, p: CaseParams, damping: jnp.ndarray = None):
 def collide_stream_full(f: jnp.ndarray, p: CaseParams):
     """Fused pull-stream + MRT-LES collision over the full grid (jnp path)."""
     fs = pull_stream(f)
+    if p.halfway_obstacle:
+        # Half-way bounce-back: a pull whose source cell is solid instead
+        # returns this cell's own opposite population from the previous
+        # post-collision field -- the wall sits midway along the link.
+        # Applied uniformly from the geometric neighbor-solid predicate
+        # (including on solid cells, whose f is overwritten afterwards) so
+        # the jnp and Pallas paths stay bitwise-identical.
+        solid = p.mask > 0.5
+        planes = [fs[0]]
+        for k in range(1, 9):
+            ex, ey = int(E[k, 0]), int(E[k, 1])
+            nb_solid = shift2d(solid, -ey, -ex, False)
+            planes.append(jnp.where(nb_solid, f[int(OPP[k])], fs[k]))
+        fs = jnp.stack(planes)
     f_post, rho, ux, uy = mrt_collide(fs, p)
     if p.bounce_obstacle:
         # Full-way bounce-back replaces collision on solid cells: the
@@ -591,6 +613,18 @@ def shift2d(a: jnp.ndarray, dy: int, dx: int, fill=0.0) -> jnp.ndarray:
     return a2[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
 
+def neighbor_solid_bits(mask: jnp.ndarray) -> jnp.ndarray:
+    """int32 [H, W]: bit k set iff the pull source (y - ey_k, x - ex_k) is
+    solid -- the per-cell predicate the half-way Pallas kernels select on
+    (precomputed once per case; the mask is static over a run)."""
+    solid = mask > 0.5
+    bits = jnp.zeros(mask.shape, jnp.int32)
+    for k in range(1, 9):
+        ex, ey = int(E[k, 0]), int(E[k, 1])
+        bits = bits | (shift2d(solid, -ey, -ex, False).astype(jnp.int32) << k)
+    return bits
+
+
 def force_on_obstacle(f_post: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Momentum-exchange force on all solid cells -> [2] (fx, fy).
 
@@ -613,6 +647,38 @@ def force_on_obstacle(f_post: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([fx, fy])
 
 
+def force_on_obstacle_halfway(f_post: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Momentum-exchange force for half-way bounce-back -> [2] (fx, fy).
+
+    Each fluid cell whose +e_k neighbor is solid sends f_post[k] into the
+    wall and receives it back reversed within the same step, transferring
+    2 f_post[k] e_k to the obstacle (same convention as force_on_obstacle,
+    summed from the fluid side because the wall cells never hold valid
+    populations in the half-way scheme).
+    """
+    solid = mask > 0.5
+    fx = jnp.zeros((), f_post.dtype)
+    fy = jnp.zeros((), f_post.dtype)
+    for k in range(1, 9):
+        ex, ey = int(E[k, 0]), int(E[k, 1])
+        nb_solid = shift2d(solid, ey, ex, False)
+        s = jnp.sum(
+            jnp.where((~solid) & nb_solid, 2.0 * f_post[k], 0.0)
+        )
+        fx = fx + s * ex
+        fy = fy + s * ey
+    return jnp.stack([fx, fy])
+
+
+def obstacle_force(
+    f_post: jnp.ndarray, mask: jnp.ndarray, halfway: bool
+) -> jnp.ndarray:
+    """Momentum-exchange force with the scheme matching the obstacle mode."""
+    if halfway:
+        return force_on_obstacle_halfway(f_post, mask)
+    return force_on_obstacle(f_post, mask)
+
+
 def max_velocity(u: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.sqrt(u[0] * u[0] + u[1] * u[1]))
 
@@ -631,7 +697,7 @@ def run_chunk(state: LBMState, p: CaseParams, n_steps: int, collide_fn=None):
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     monitors = {
-        "force": force_on_obstacle(state.f_post, p.mask),
+        "force": obstacle_force(state.f_post, p.mask, p.halfway_obstacle),
         "max_v": max_velocity(state.u),
     }
     return state, monitors

@@ -54,9 +54,10 @@ from ..core.solver import (
     bc_horizontal_values,
     bc_left_values,
     bc_right_values,
-    force_on_obstacle,
     max_velocity,
     mrt_collide_arrays,
+    neighbor_solid_bits,
+    obstacle_force,
 )
 
 PY = 8  # row padding = f32 sublane tile; also the halo alignment unit
@@ -418,6 +419,7 @@ def _step_kernel(
     h_hi_ref,  # VMEM (9, 8, Wp) row 0 = high-side halo row, or None
     fp_hbm,  # HBM [9, Hp + 2*PY, Wp]
     aux_ref,  # VMEM (BH, Wp) -- packed damp+mask (pack_aux), auto-pipelined
+    nbb_ref,  # VMEM (BH, Wp) int32 neighbor-solid bits (half-way BB), or None
     fp_new_hbm,  # HBM [9, Hp + 2*PY, Wp] (manual aligned DMA)
     rho_ref,  # VMEM (BH, Wp) or None (fast)
     u_ref,  # VMEM (2, BH, Wp) or None (fast)
@@ -514,6 +516,23 @@ def _step_kernel(
                     scratch_in[:, r, :] = ref_[:, 0, :]
 
     fs = _stream_band(scratch_in, BH, BW, PX)
+    if nbb_ref is not None:
+        # half-way bounce-back: pulls whose source cell is solid return this
+        # cell's own opposite previous population (already in the window's
+        # center rows); the precomputed bit plane is the same predicate the
+        # jnp path derives from mask shifts, so the paths stay bitwise-equal
+        bits = nbb_ref[:]
+        planes = [fs[0]]
+        for k in range(1, 9):
+            nb_solid = ((bits >> k) & 1) != 0
+            planes.append(
+                jnp.where(
+                    nb_solid,
+                    scratch_in[int(OPP[k]), PY : PY + BH, PX : PX + BW],
+                    fs[k],
+                )
+            )
+        fs = jnp.stack(planes)
     solid, damp = _unpack_aux(aux_ref[:])
     f_post, rho, ux, uy = mrt_collide_arrays(
         fs, damp, scal_ref[0, _S_TAU0], scal_ref[0, _S_CSF],
@@ -674,6 +693,7 @@ def _step_kernel(
 def _pallas_step(
     fp, aux_p, scalars, offs, h_lo, h_hi, dims, use_les, bc_type,
     full, interpret, apply_bc=True, ec_buf=None, er_buf=None, bounce=False,
+    nbb_p=None,
 ):
     """One fused lattice update. dims = (Hg, Wg, HL, WL, Hp, Wp, BH, BW, PX);
     single-chip passes HL == Hg, WL == Wg and offs None; the sharded path
@@ -686,6 +706,7 @@ def _pallas_step(
     grid = (Hp // BH, Wp // BW)
     sharded = offs is not None
     halo = h_lo is not None
+    halfway = nbb_p is not None  # half-way bounce-back bit plane present
     export = not apply_bc  # split-BC edge-macro export
 
     out_shape = [jax.ShapeDtypeStruct(fp.shape, dtype)]
@@ -740,6 +761,7 @@ def _pallas_step(
         hlo = next(it) if halo else None
         hhi = next(it) if halo else None
         fh, aux = next(it), next(it)
+        nbb = next(it) if halfway else None
         if aliased:  # donated ec/er input refs; use the output refs instead
             next(it), next(it)
         fn = next(it)
@@ -754,7 +776,7 @@ def _pallas_step(
         sin, sout = next(it), next(it)
         semec = next(it) if export else None
         _step_kernel(
-            scal, offs_r, hlo, hhi, fh, aux, fn, rho, u, fpost, ec, er,
+            scal, offs_r, hlo, hhi, fh, aux, nbb, fn, rho, u, fpost, ec, er,
             s_in, s_out, s_ec, s_er, sin, sout, semec, **dims_kw,
         )
 
@@ -774,6 +796,11 @@ def _pallas_step(
         pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
     ]
     args += [fp, aux_p]
+    if halfway:
+        in_specs.append(
+            pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        )
+        args.append(nbb_p)
 
     # XLA allocates the small unblocked ec/er OUTPUTS on the scoped-VMEM
     # stack (layout S(1)) despite the HBM out_spec -- at Hp = 4096 the ec
@@ -1260,6 +1287,10 @@ def run_chunk_pallas(
     )
     aux = pack_aux(p.damping, p.mask)
     aux_s = jnp.pad(aux, ((0, Hp - H), (0, Wp_s - W_)))
+    nbb = neighbor_solid_bits(p.mask) if p.halfway_obstacle else None
+    nbb_s = (
+        None if nbb is None else jnp.pad(nbb, ((0, Hp - H), (0, Wp_s - W_)))
+    )
 
     # ec/er export buffers ride the scan carry as donated HBM inputs (see
     # _pallas_step aliases note); every exported cell is rewritten per step
@@ -1275,7 +1306,7 @@ def run_chunk_pallas(
             fp_new, ec, er = _pallas_step(
                 fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, False,
-                ec_buf=ec, er_buf=er, bounce=p.bounce_obstacle,
+                ec_buf=ec, er_buf=er, bounce=p.bounce_obstacle, nbb_p=nbb_s,
             )
             fp_new = _edge_bc_step(
                 fp_new, aux_s, ec, er, scal, edims, p.bc_type, interpret,
@@ -1285,7 +1316,7 @@ def run_chunk_pallas(
             (fp_new,) = _pallas_step(
                 fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, True,
-                bounce=p.bounce_obstacle,
+                bounce=p.bounce_obstacle, nbb_p=nbb_s,
             )
         return (fp_new, ec, er, step), None
 
@@ -1302,11 +1333,17 @@ def run_chunk_pallas(
         )
     if (Wp_s - W_) != (Wp - W_) or PX_s != PX:
         aux_p = jnp.pad(aux, ((0, Hp - H), (0, Wp - W_)))
+        nbb_p = (
+            None if nbb is None
+            else jnp.pad(nbb, ((0, Hp - H), (0, Wp - W_)))
+        )
     else:
         aux_p = aux_s
+        nbb_p = nbb_s
     fp, rho_p, u_p, fpost_p = _pallas_step(
         fp, aux_p, scal, None, None, None, dims_full,
         p.use_les, p.bc_type, True, interpret, bounce=p.bounce_obstacle,
+        nbb_p=nbb_p,
     )
 
     f = fp[:, PY : PY + H, PX : PX + W_]
@@ -1318,7 +1355,7 @@ def run_chunk_pallas(
 
     new_state = LBMState(f=f, f_post=f_post, rho=rho, u=u, step=step)
     monitors = {
-        "force": force_on_obstacle(new_state.f_post, p.mask),
+        "force": obstacle_force(new_state.f_post, p.mask, p.halfway_obstacle),
         "max_v": max_velocity(new_state.u),
     }
     return new_state, monitors

@@ -23,10 +23,12 @@ from ..core.solver import (
     CaseParams,
     LBMState,
     force_on_obstacle,
+    force_on_obstacle_halfway,
     init_state,
     make_params,
     max_velocity,
     moments_output,
+    obstacle_force,
     step,
 )
 from ..core.stability import is_stable_device
@@ -63,6 +65,7 @@ def _param_axes(p: CaseParams) -> CaseParams:
 
 
 _vforce = jax.vmap(force_on_obstacle, in_axes=(0, 0))
+_vforce_halfway = jax.vmap(force_on_obstacle_halfway, in_axes=(0, 0))
 _vmax = jax.vmap(max_velocity, in_axes=0)
 _vstable = jax.vmap(is_stable_device, in_axes=(0, 0, 0, 0))
 
@@ -83,7 +86,8 @@ def _chunk_lockstep(state: LBMState, p: CaseParams, alive, n_steps: int):
         return s_frozen, None
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
-    force = _vforce(state.f_post, p.mask)
+    vf = _vforce_halfway if p.halfway_obstacle else _vforce
+    force = vf(state.f_post, p.mask)
     max_v = _vmax(state.u)
     stable = _vstable(force, max_v, state.step, p.warmup_steps)
     alive = alive & stable
@@ -139,7 +143,7 @@ def _chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret):
             new_i = jax.tree.map(
                 lambda n, o: jnp.where(alive[i], n, o), new_i, st_i
             )
-        force = force_on_obstacle(new_i.f_post, p_i.mask)
+        force = obstacle_force(new_i.f_post, p_i.mask, p_i.halfway_obstacle)
         max_v = max_velocity(new_i.u)
         stables.append(
             is_stable_device(force, max_v, new_i.step, p_i.warmup_steps)
@@ -267,6 +271,12 @@ class BatchEngine:
         self.state = init_batch_state(self.batch, self.ny, self.nx, dtype)
         self.alive = jnp.ones((self.batch,), bool)
         self.last_monitors: Optional[Dict[str, jnp.ndarray]] = None
+        # host mirror of ``alive`` (updated from each chunk's monitors; no
+        # extra device sync) -- drives dead-case compaction decisions
+        self._alive_np = np.ones((self.batch,), bool)
+        # cached full-size device monitors for compacted chunks: dropped
+        # cases report their frozen last values
+        self._mon_full: Optional[Dict[str, jnp.ndarray]] = None
 
         from ..ops.pallas_step import supports
 

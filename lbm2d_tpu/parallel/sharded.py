@@ -35,9 +35,10 @@ from ..core.solver import (
     bc_horizontal_values,
     bc_left_values,
     bc_right_values,
-    force_on_obstacle,
     max_velocity,
     mrt_collide,
+    neighbor_solid_bits,
+    obstacle_force,
     pull_stream_halo,
 )
 from .topology import AXIS_X, AXIS_Y, params_specs, state_specs
@@ -153,9 +154,13 @@ def _sharded_apply_bc(f, rho, u, step, p: CaseParams, ny: int, nx: int):
 
 
 def make_local_step(mesh, ny: int, nx: int):
-    """Build the per-shard step(state, params) closure for shard_map."""
+    """Build the per-shard step(state, params) closure for shard_map.
 
-    def local_step(state: LBMState, p: CaseParams) -> LBMState:
+    ``nbb_l`` (half-way bounce-back only) is this shard's block of the
+    GLOBAL neighbor-solid bit plane (solver.neighbor_solid_bits), computed
+    before shard_map so shard-boundary-crossing solid neighbors are seen."""
+
+    def local_step(state: LBMState, p: CaseParams, nbb_l=None) -> LBMState:
         h, w = state.rho.shape
         iy = lax.axis_index(AXIS_Y)
         ix = lax.axis_index(AXIS_X)
@@ -167,6 +172,14 @@ def make_local_step(mesh, ny: int, nx: int):
 
         f_halo = exchange_halo_f(state.f, mesh)
         fs = pull_stream_halo(f_halo)
+        if p.halfway_obstacle:
+            # half-way bounce-back: pulls from solid sources return the
+            # cell's own opposite previous population (see solver)
+            planes = [fs[0]]
+            for k in range(1, 9):
+                nb_solid = ((nbb_l >> k) & 1) != 0
+                planes.append(jnp.where(nb_solid, state.f[int(OPP[k])], fs[k]))
+            fs = jnp.stack(planes)
         f_c, rho_c, ux_c, uy_c = mrt_collide(fs, p, damping=p.damping)
         if p.bounce_obstacle:
             solid_c = p.mask > 0.5
@@ -333,7 +346,10 @@ def run_chunk_sharded_pallas(
     edims = (hl, wl, Hp, Wp, PXs, ny, nx)
     dtype = state.f.dtype
 
-    def local_chunk(state_l: LBMState, p_l: CaseParams) -> LBMState:
+    nbb_g = neighbor_solid_bits(p.mask) if p.halfway_obstacle else None
+
+    def local_chunk(state_l: LBMState, p_l: CaseParams, *nbb_rest) -> LBMState:
+        nbb_l = nbb_rest[0] if nbb_rest else None
         iy = lax.axis_index(AXIS_Y)
         ix = lax.axis_index(AXIS_X)
         offs = jnp.stack([iy * hl, ix * wl]).astype(jnp.int32).reshape(1, 2)
@@ -343,6 +359,10 @@ def run_chunk_sharded_pallas(
         )
         aux_b = jnp.pad(
             pack_aux(p_l.damping, p_l.mask), ((0, Hp - hl), (0, Wp - wl))
+        )
+        nbb_b = (
+            None if nbb_l is None
+            else jnp.pad(nbb_l, ((0, Hp - hl), (0, Wp - wl)))
         )
 
         def halo_rows(fp):
@@ -371,6 +391,7 @@ def run_chunk_sharded_pallas(
                     fp, aux_b, scal, None, h_lo, h_hi, dims,
                     p_l.use_les, p_l.bc_type, False, interpret, False,
                     ec_buf=ec, er_buf=er, bounce=p_l.bounce_obstacle,
+                    nbb_p=nbb_b,
                 )
                 fp_new = _edge_bc_step(
                     fp_new, aux_b, ec, er, scal, edims, p_l.bc_type,
@@ -380,7 +401,7 @@ def run_chunk_sharded_pallas(
             return _pallas_step(
                 fp, aux_b, scal, offs, h_lo, h_hi, dims,
                 p_l.use_les, p_l.bc_type, full, interpret,
-                bounce=p_l.bounce_obstacle,
+                bounce=p_l.bounce_obstacle, nbb_p=nbb_b,
             )
 
         if split:
@@ -467,12 +488,15 @@ def run_chunk_sharded_pallas(
         return LBMState(f=f, f_post=f_post, rho=rho, u=u, step=step)
 
     s_specs, p_specs = state_specs(), params_specs(p)
+    extra = () if nbb_g is None else (nbb_g,)
+    extra_specs = () if nbb_g is None else (P(AXIS_Y, AXIS_X),)
     state = shard_map(
-        local_chunk, mesh=mesh, in_specs=(s_specs, p_specs), out_specs=s_specs,
+        local_chunk, mesh=mesh, in_specs=(s_specs, p_specs) + extra_specs,
+        out_specs=s_specs,
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
-    )(state, p)
+    )(state, p, *extra)
     monitors = {
-        "force": force_on_obstacle(state.f_post, p.mask),
+        "force": obstacle_force(state.f_post, p.mask, p.halfway_obstacle),
         "max_v": max_velocity(state.u),
     }
     return state, monitors
@@ -482,20 +506,26 @@ def run_chunk_sharded_pallas(
 def run_chunk_sharded(state: LBMState, p: CaseParams, n_steps: int, mesh, ny: int, nx: int):
     """Advance n_steps on the mesh; monitors computed globally under GSPMD."""
     local_step = make_local_step(mesh, ny, nx)
+    nbb_g = neighbor_solid_bits(p.mask) if p.halfway_obstacle else None
 
-    def chunk(state_l, p_l):
+    def chunk(state_l, p_l, *nbb_rest):
+        nbb_l = nbb_rest[0] if nbb_rest else None
+
         def body(s, _):
-            return local_step(s, p_l), None
+            return local_step(s, p_l, nbb_l), None
 
         s, _ = lax.scan(body, state_l, None, length=n_steps)
         return s
 
     s_specs, p_specs = state_specs(), params_specs(p)
+    extra = () if nbb_g is None else (nbb_g,)
+    extra_specs = () if nbb_g is None else (P(AXIS_Y, AXIS_X),)
     state = shard_map(
-        chunk, mesh=mesh, in_specs=(s_specs, p_specs), out_specs=s_specs,
-    )(state, p)
+        chunk, mesh=mesh, in_specs=(s_specs, p_specs) + extra_specs,
+        out_specs=s_specs,
+    )(state, p, *extra)
     monitors = {
-        "force": force_on_obstacle(state.f_post, p.mask),
+        "force": obstacle_force(state.f_post, p.mask, p.halfway_obstacle),
         "max_v": max_velocity(state.u),
     }
     return state, monitors

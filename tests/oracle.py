@@ -16,6 +16,7 @@ E = np.array(
     dtype=np.int64,
 )
 W9 = np.array([4 / 9] + [1 / 9] * 4 + [1 / 36] * 4)
+OPP9 = np.array([0, 3, 4, 1, 2, 7, 8, 5, 6], dtype=np.int64)
 M = np.array(
     [
         [1, 1, 1, 1, 1, 1, 1, 1, 1],
@@ -51,10 +52,9 @@ class OracleLBM:
         self.bc_type = list(cfg["boundary_condition"]["type"])
         self.bc_value = np.array(cfg["boundary_condition"]["value"], dtype=np.float64)
         # DFG validation modes (framework extensions; archive/lbm_mrt spec)
-        self.bounce = (
-            cfg["boundary_condition"].get("obstacle", "equilibrium")
-            == "bounce_back"
-        )
+        obstacle = cfg["boundary_condition"].get("obstacle", "equilibrium")
+        self.bounce = obstacle == "bounce_back"
+        self.halfway = obstacle == "bounce_back_halfway"
         if self.bc_type[0] == 3:
             u_max = float(self.bc_value[0][0])
             h = float(self.ny - 1)
@@ -126,6 +126,13 @@ class OracleLBM:
                 ft = np.empty(9)
                 for k in range(9):
                     ft[k] = self.f_old[i - E[k, 0], j - E[k, 1], k]
+                if self.halfway:
+                    # half-way bounce-back: a pull whose source cell is solid
+                    # returns this cell's own opposite previous population
+                    # (applied uniformly, matching the array paths)
+                    for k in range(1, 9):
+                        if self.mask[i - E[k, 0], j - E[k, 1]] == 1.0:
+                            ft[k] = self.f_old[i, j, OPP9[k]]
                 if self.bounce and self.mask[i, j] == 1.0:
                     # full-way bounce-back: streamed-in populations leave
                     # reversed (archive/lbm_mrt/solver.py:181-195)

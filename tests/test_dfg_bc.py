@@ -155,6 +155,89 @@ def test_bounce_channel_runs_and_drags():
     )
 
 
+def test_halfway_bounce_matches_oracle():
+    """Half-way bounce-back (obstacle = bounce_back_halfway) vs the scalar
+    oracle: pulls from solid sources return the cell's own opposite previous
+    population. NEW vs the reference (its archive solver is full-way only)."""
+    cfg = dfg_config()
+    cfg["boundary_condition"]["obstacle"] = "bounce_back_halfway"
+    nx, ny = cfg["simulation"]["nx"], cfg["simulation"]["ny"]
+    mask_xy = channel_mask_xy(nx, ny)
+
+    oracle = OracleLBM(cfg, mask_xy)
+    oracle.run_step(40)
+
+    p = make_params(cfg, mask_xy.T, dtype=jnp.float64)
+    assert p.halfway_obstacle and not p.bounce_obstacle
+    st = init_state(ny, nx, jnp.float64)
+    for _ in range(40):
+        st = step(st, p)
+
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.moveaxis(oracle.f_old, -1, 0).transpose(0, 2, 1),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.u[0]), oracle.vel[:, :, 0].T, atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(st.rho), oracle.rho.T, atol=1e-12)
+
+
+def test_halfway_kernel_matches_jnp():
+    """The fused Pallas kernel's half-way path (precomputed neighbor-solid
+    bit plane) vs the jnp chunk, both split-BC and in-kernel-BC modes."""
+    from lbm2d_tpu.ops.pallas_step import run_chunk_pallas
+
+    cfg = dfg_config(nx=128, ny=48, warmup=50)
+    cfg["boundary_condition"]["obstacle"] = "bounce_back_halfway"
+    ny, nx = 48, 128
+    mask = np.zeros((ny, nx), np.float32)
+    mask[0, :] = 1.0
+    mask[-1, :] = 1.0
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    mask[(yy - ny // 2) ** 2 + (xx - 30) ** 2 < 30] = 1.0
+    p = make_params(cfg, mask)
+    ref, ref_mon = run_chunk(init_state(ny, nx), p, 16)
+    for split in (True, False):
+        got, mon = run_chunk_pallas(
+            init_state(ny, nx), p, n_steps=16, interpret=True, split_bc=split
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.f), np.asarray(ref.f), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.u), np.asarray(ref.u), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
+        )
+
+
+def test_halfway_force_formula():
+    """force_on_obstacle_halfway on a hand-built field: one fluid cell with
+    a solid +x neighbor contributes 2 f[1] to Fx (and the diagonals 2 f[k]
+    e_k), summed from the fluid side only."""
+    from lbm2d_tpu.core.solver import force_on_obstacle_halfway
+    from lbm2d_tpu.core.lattice import E as E_LAT
+
+    ny = nx = 8
+    mask = np.zeros((ny, nx), np.float32)
+    mask[3:5, 4:6] = 1.0  # 2x2 block
+    f_post = np.zeros((9, ny, nx), np.float32)
+    # fluid cell (3, 3) is west of solid (3, 4): its k with e=( +1, 0)
+    # points into the wall
+    k_east = next(
+        k for k in range(9) if (int(E_LAT[k, 0]), int(E_LAT[k, 1])) == (1, 0)
+    )
+    f_post[k_east, 3, 3] = 0.7
+    # a population deep in the fluid must not contribute
+    f_post[k_east, 0, 0] = 9.9
+    got = np.asarray(
+        force_on_obstacle_halfway(jnp.asarray(f_post), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(got, [2 * 0.7, 0.0], atol=1e-7)
+
+
 import os
 import pytest
 
