@@ -465,7 +465,7 @@ def _step_kernel(
     if pipelined:
         slot = jax.lax.rem(i, jnp.int32(2))
 
-        def load_for(idx, sl):
+        def load_full(idx, sl):
             return pltpu.make_async_copy(
                 fp_hbm.at[
                     :, pl.ds(idx * BH, BH + 2 * PY), pl.ds(x0, BW + 2 * PX)
@@ -474,15 +474,45 @@ def _step_kernel(
                 sem_in.at[sl],
             )
 
+        def load_tail(idx, sl):
+            # halo carry: window idx's first 2*PY rows are the last 2*PY
+            # rows of window idx-1, already resident in the other slot's
+            # scratch -- only the BH NEW rows hit HBM. Kills the row-halo
+            # re-read (25% of f read bytes at BH=64).
+            return pltpu.make_async_copy(
+                fp_hbm.at[
+                    :,
+                    pl.ds(idx * BH + 2 * PY, BH),
+                    pl.ds(x0, BW + 2 * PX),
+                ],
+                scratch_in.at[sl, :, pl.ds(2 * PY, BH), :],
+                sem_in.at[sl],
+            )
+
         @pl.when(i == 0)
         def _():
-            load_for(0, 0).start()
+            load_full(0, 0).start()
+            load_full(0, 0).wait()
 
+        @pl.when(i > 0)
+        def _():
+            load_tail(i, slot).wait()
+
+        # seed window i+1: VMEM-copy the overlap rows from this window's
+        # just-completed scratch, then DMA only the BH new rows behind the
+        # current program's compute
         @pl.when(i + 1 < NPROG)
         def _():
-            load_for(i + 1, 1 - slot).start()
+            @pl.when(slot == 0)
+            def _():
+                scratch_in[1, :, 0 : 2 * PY, :] = scratch_in[0, :, BH:, :]
 
-        load_for(i, slot).wait()
+            @pl.when(slot == 1)
+            def _():
+                scratch_in[0, :, 0 : 2 * PY, :] = scratch_in[1, :, BH:, :]
+
+            load_tail(i + 1, 1 - slot).start()
+
         so_parent = scratch_out
         scratch_in = scratch_in.at[slot]
         scratch_out = scratch_out.at[slot]

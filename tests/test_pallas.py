@@ -144,6 +144,31 @@ def test_pipelined_band_path_matches_jnp(monkeypatch):
     )
 
 
+def test_pipelined_multiband_halo_carry_matches_jnp(monkeypatch):
+    """The halo-carry pipeline with MANY programs per step: 16-row bands on
+    a 128-row grid give NPROG = 8, so every window after the first seeds its
+    2*PY overlap rows from the previous window's scratch instead of HBM.
+    Bitwise vs the jnp chunk."""
+    import lbm2d_tpu.ops.pallas_step as ps
+
+    monkeypatch.setattr(ps, "_PIPELINE_MIN_BYTES", 1)
+    nx, ny = 128, 128
+    cfg = tiny_config(nx=nx, ny=ny)
+    mask = np.zeros((ny, nx), np.float32)
+    mask[60:68, 40:48] = 1.0
+    p = make_params(cfg, mask)
+    ref, ref_mon = run_chunk(init_state(ny, nx), p, 12)
+    out, mon = ps.run_chunk_pallas(
+        init_state(ny, nx), p, n_steps=12, interpret=True,
+        tiles=(16, 8, 128, 0), split_bc=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out.f), np.asarray(ref.f))
+    np.testing.assert_array_equal(np.asarray(out.u), np.asarray(ref.u))
+    np.testing.assert_allclose(
+        np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
+    )
+
+
 def test_dfg_modes_in_kernel_match_jnp():
     """Bounce-back obstacles + parabolic velocity inlet (type 3) now run in
     the fused kernel: near-bitwise vs the jnp path -- the in-kernel profile
