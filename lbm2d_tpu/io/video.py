@@ -56,6 +56,17 @@ class VideoRecorder:
         frame = img[: self.rec_height, : self.rec_width, :]
         frame = frame[::-1]  # vertical flip, same orientation as reference
         frame8 = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
+        self._emit(frame8)
+
+    def write_frame_u8(self, img8: np.ndarray) -> None:
+        """img8: [H, W, 3] uint8 RGB, already byte-quantized on device
+        (ops/render.py); same even-dim crop + flip as the float path."""
+        if not self.is_recording:
+            return
+        frame8 = np.asarray(img8)[: self.rec_height, : self.rec_width, :][::-1]
+        self._emit(frame8)
+
+    def _emit(self, frame8: np.ndarray) -> None:
         if self._writer is not None:
             self._writer.write(frame8[:, :, ::-1])  # RGB -> BGR
         elif self._frame_dir is not None:

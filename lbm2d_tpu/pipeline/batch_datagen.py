@@ -48,6 +48,8 @@ def _group_key(cfg: Dict[str, Any]) -> Tuple:
     # (run_lockstep_group) -- members with different crop geometry must not
     # share a lockstep group.
     z = cfg.get("domain_zones", {})
+    vid = out.get("video", {})
+    gui = out.get("gui", {})
     return (
         sim["nx"],
         sim["ny"],
@@ -59,6 +61,14 @@ def _group_key(cfg: Dict[str, Any]) -> Tuple:
         out["dataset"].get("save_resolution_height"),
         out.get("start_record_step", 0),
         sim["max_steps"],
+        # device-video members share ONE renderer (gui geometry) and one
+        # frame cadence, so those settings split groups too
+        vid.get("enable", False),
+        vid.get("interval_steps", 0),
+        vid.get("fps", 30),
+        gui.get("max_size"),
+        gui.get("gaussian_sigma", 1.0),
+        gui.get("show_zone_overlay", False),
         z.get("sponge_in", 0),
         z.get("sponge_out", 0),
         z.get("sponge_top", 0),
@@ -91,6 +101,7 @@ def run_lockstep_group(
     runner: str = "auto",
     n_devices: Optional[int] = None,
     f16_transfer: bool = False,
+    video: bool = True,
 ) -> List[Dict[str, Any]]:
     """Run one same-shape group in lockstep; returns per-case summary entries.
 
@@ -100,6 +111,12 @@ def run_lockstep_group(
     dataset is float16 anyway (h5_to_zarr pass 2), so the end artifact
     loses nothing. Off by default; meant for transfer-bound links (the
     remoted-TPU tunnel measured 2-8 MB/s D2H).
+
+    ``video``: render per-case mp4 frames ON DEVICE (ops/render.py -- |u| +
+    vorticity panels, colormap LUT, resize) and fetch only composed uint8
+    frames, so the lockstep path emits the reference's full per-case
+    artifact set (vis/*.mp4: reference io/video_recorder.py:17-52 wired in
+    core/simulation_ops.py:146-168). Respects outputs.video.enable.
     """
     cfg0 = members[0][1]
     sim0 = cfg0["simulation"]
@@ -108,8 +125,12 @@ def run_lockstep_group(
     start_record = cfg0["outputs"].get("start_record_step", 0)
     max_steps = int(sim0["max_steps"])
     dataset_on = cfg0["outputs"]["dataset"]["enable"]
+    vid_cfg = cfg0["outputs"].get("video", {})
+    gui_cfg = cfg0["outputs"].get("gui", {})
+    vid_interval = int(vid_cfg.get("interval_steps", 0) or 0)
+    video_on = bool(video and vid_cfg.get("enable") and vid_interval > 0)
 
-    masks, writers, h5_paths = [], [], []
+    masks, writers, h5_paths, video_paths = [], [], [], []
     for fname, cfg in members:
         mask_path = os.path.join(
             project_paths["masks"], os.path.basename(cfg["mask"]["path"])
@@ -120,6 +141,9 @@ def run_lockstep_group(
             output_dirs["raw"], f"{cfg['simulation']['name']}.h5"
         )
         h5_paths.append(h5_path)
+        video_paths.append(
+            os.path.join(output_dirs["vis"], f"{cfg['simulation']['name']}.mp4")
+        )
         if dataset_on:
             writers.append(
                 AsyncLBMCaseWriter(
@@ -128,6 +152,35 @@ def run_lockstep_group(
             )
         else:
             writers.append(None)
+
+    # Device-side video: one batched renderer for the group, one recorder
+    # per case; frames ride the same deferred-fetch overlap as the dataset
+    # transfers (u8 RGB at display size, ~1/30 the bytes of the raw field)
+    recorders: List[Optional[Any]] = [None] * len(members)
+    renderer = None
+    zones = None
+    if video_on:
+        from ..io.video import VideoRecorder
+        from ..ops.render import make_device_frame_renderer
+        from ..utils.config import get_zone_config
+        from ..viz.frames import calc_gui_size
+
+        gui_w, gui_h = calc_gui_size(
+            sim0["nx"], sim0["ny"], gui_cfg.get("max_size")
+        )
+        renderer = make_device_frame_renderer(
+            gui_w, gui_h, viz_sigma=gui_cfg.get("gaussian_sigma", 1.0),
+            batched=True,
+        )
+        if gui_cfg.get("show_zone_overlay", False):
+            zones = get_zone_config(cfg0)
+        for b, _ in enumerate(members):
+            rec = VideoRecorder(
+                video_paths[b], width=gui_w, height=gui_h,
+                fps=vid_cfg.get("fps", 30),
+            )
+            rec.start()
+            recorders[b] = rec
 
     engine = BatchEngine(
         [cfg for _, cfg in members], masks, runner=runner, n_devices=n_devices
@@ -203,9 +256,21 @@ def run_lockstep_group(
     # save cadence; overlap hides the compute entirely and the loop runs at
     # max(compute, transfer) rather than their sum.
     pending = None  # (device moments array, pre_resized flag)
+    pending_video = None  # device uint8 frames [B, gui_h, gui_w, 3]
 
     def flush_pending():
-        nonlocal pending
+        nonlocal pending, pending_video
+        if pending_video is not None:
+            frames = np.asarray(pending_video)
+            pending_video = None
+            for b in range(n_cases):
+                if fail_reason[b] is None and recorders[b] is not None:
+                    frame = frames[b]
+                    if zones is not None:
+                        from ..viz.frames import draw_zone_overlay
+
+                        frame = draw_zone_overlay(frame.copy(), zones)
+                    recorders[b].write_frame_u8(frame)
         if pending is None:
             return
         dev, pre = pending
@@ -249,6 +314,12 @@ def run_lockstep_group(
                 dev = dev.astype(jnp.float16)
             pending = (dev, pre)
         if (
+            video_on
+            and steps % vid_interval == 0
+            and steps >= start_record
+        ):
+            pending_video = renderer(engine.state.u, engine.params.mask)
+        if (
             ckpt_path
             and ckpt_interval
             and steps % ckpt_interval < chunk
@@ -261,6 +332,10 @@ def run_lockstep_group(
     wall = time.perf_counter() - t0
     if ckpt_path and os.path.exists(ckpt_path):
         os.remove(ckpt_path)  # completed groups don't need restart state
+
+    for rec in recorders:
+        if rec is not None:
+            rec.stop()
 
     u_np = np.asarray(engine.state.u)  # [B, 2, H, W]
     entries = []
@@ -275,7 +350,8 @@ def run_lockstep_group(
                 "turbulence": [w.running_count, w.channels, w.target_h, w.target_w],
             }
         if fail_reason[b] is not None:
-            for path in (h5_paths[b],):
+            # failed cases keep no partial artifacts (case_executor parity)
+            for path in (h5_paths[b], video_paths[b]):
                 if os.path.exists(path):
                     os.remove(path)
             entries.append(
@@ -300,7 +376,11 @@ def run_lockstep_group(
             "nu_lattice_lu": nu,
             "total_steps_executed": steps,
             "h5_file": os.path.basename(h5_paths[b]),
-            "video_file": "N/A",
+            "video_file": (
+                os.path.basename(video_paths[b])
+                if recorders[b] is not None
+                else "N/A"
+            ),
         }
         entry = build_summary_entry(
             cfg,
@@ -330,6 +410,7 @@ def run_batched(
     runner: str = "auto",
     n_devices: Optional[int] = None,
     f16_transfer: bool = False,
+    video: bool = True,
 ) -> Dict[str, int]:
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -362,6 +443,7 @@ def run_batched(
         entries = run_lockstep_group(
             members, project_paths, output_dirs, progress, device_resize,
             runner=runner, n_devices=n_devices, f16_transfer=f16_transfer,
+            video=video,
         )
         for entry in entries:
             fname = entry["config_filename"]
@@ -412,11 +494,16 @@ def main() -> None:
         help="cast saved frames to f16 on device before the host fetch "
         "(halves transfer bytes; the downstream zarr dataset is f16 anyway)",
     )
+    ap.add_argument(
+        "--no_video", action="store_true",
+        help="skip the device-rendered per-case mp4 (outputs.video config "
+        "is honored when omitted)",
+    )
     args = ap.parse_args()
     run_batched(
         args.project_name, args.max_batch, device_resize=args.device_resize,
         runner=args.runner, n_devices=args.n_devices,
-        f16_transfer=args.f16_transfer,
+        f16_transfer=args.f16_transfer, video=not args.no_video,
     )
 
 

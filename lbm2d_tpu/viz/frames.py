@@ -89,7 +89,9 @@ def draw_zone_overlay(img: np.ndarray, zones: Dict[str, int]) -> np.ndarray:
 
     Array-space equivalent of the reference's ti.GUI line overlay
     (viz_utils.py:52-95); operates on the top panel of a composed frame.
+    Accepts float [0,1] frames or uint8 frames (device-rendered path).
     """
+    scale = 255 if img.dtype == np.uint8 else 1.0
     h, w = img.shape[:2]
     panel_h = h // 2
     nx, ny = zones["nx"], zones["ny"]
@@ -104,8 +106,8 @@ def draw_zone_overlay(img: np.ndarray, zones: Dict[str, int]) -> np.ndarray:
         r = int(np.clip(y * sy, 0, panel_h - 1))
         img[r, :] = color
 
-    green = (0.0, 1.0, 0.0)
-    red = (1.0, 0.0, 0.0)
+    green = (0.0, 1.0 * scale, 0.0)
+    red = (1.0 * scale, 0.0, 0.0)
     vline(zones["sponge_in"], green)
     vline(nx - zones["sponge_out"], green)
     hline(zones["sponge_bot"], green)

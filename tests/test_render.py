@@ -1,0 +1,120 @@
+"""Device frame renderer (ops/render.py) vs the host composer (viz/frames.py).
+
+The device path runs gaussian smoothing, |u|/vorticity, matplotlib-sampled
+colormap LUTs, panel stacking, and cv2-convention bilinear resize on the
+accelerator and ships only the u8 frame; the host path is
+scipy/matplotlib/cv2. They quantize identically except at colormap bin
+edges (f32 vs f64 rounding can shift an index by one), so the comparison
+bounds the fraction of differing bytes rather than demanding equality.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lbm2d_tpu.io.video import VideoRecorder
+from lbm2d_tpu.ops.render import make_device_frame_renderer
+from lbm2d_tpu.viz.frames import FrameComposer, calc_gui_size, draw_zone_overlay
+
+
+def _field(ny, nx, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    ux = 0.08 * np.sin(2 * np.pi * yy / ny) + 0.02 * rng.standard_normal((ny, nx))
+    uy = 0.05 * np.cos(2 * np.pi * xx / nx) + 0.02 * rng.standard_normal((ny, nx))
+    u = np.stack([ux, uy]).astype(np.float32)
+    mask = np.zeros((ny, nx), np.float32)
+    mask[ny // 3 : ny // 3 + 8, nx // 4 : nx // 4 + 8] = 1.0
+    return u, mask
+
+
+def _host_u8(img):
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def test_device_frame_matches_host_composer():
+    ny, nx = 96, 160
+    u, mask = _field(ny, nx)
+    gui_w, gui_h = calc_gui_size(nx, ny, max_display_size=128)  # forces resize
+
+    host = FrameComposer(gui_w, gui_h).process_frame(u, mask)
+    assert host.shape == (gui_h, gui_w, 3)
+    host8 = _host_u8(host)
+
+    dev = make_device_frame_renderer(gui_w, gui_h)(
+        jnp.asarray(u), jnp.asarray(mask)
+    )
+    dev8 = np.asarray(dev)
+    assert dev8.shape == host8.shape and dev8.dtype == np.uint8
+
+    diff = np.abs(dev8.astype(np.int32) - host8.astype(np.int32))
+    assert np.mean(diff) < 1.5, f"mean byte diff {np.mean(diff)}"
+    assert np.mean(diff > 6) < 0.02, f"large-diff fraction {np.mean(diff > 6)}"
+
+
+def test_device_frame_no_resize_and_batched():
+    ny, nx = 64, 128
+    u0, m0 = _field(ny, nx, seed=1)
+    u1, m1 = _field(ny, nx, seed=2)
+    gui_w, gui_h = calc_gui_size(nx, ny, max_display_size=None)  # native size
+
+    render = make_device_frame_renderer(gui_w, gui_h, batched=True)
+    dev = np.asarray(
+        render(jnp.asarray(np.stack([u0, u1])), jnp.asarray(np.stack([m0, m1])))
+    )
+    assert dev.shape == (2, gui_h, gui_w, 3)
+
+    for b, (u, m) in enumerate(((u0, m0), (u1, m1))):
+        host8 = _host_u8(FrameComposer(gui_w, gui_h).process_frame(u, m))
+        diff = np.abs(dev[b].astype(np.int32) - host8.astype(np.int32))
+        assert np.mean(diff) < 1.0
+        assert np.mean(diff > 6) < 0.02
+    # obstacle cells are grey 127 in the velocity panel
+    assert dev[0, ny // 3 + 2, nx // 4 + 2, 0] == 127
+
+
+def test_u8_recorder_roundtrip(tmp_path):
+    """write_frame_u8 produces the same stored frame as write_frame given
+    the equivalently-quantized float image (decode round trip)."""
+    cv2 = __import__("cv2")
+    ny, nx = 64, 96
+    u, mask = _field(ny, nx, seed=3)
+    gui_w, gui_h = nx, 2 * ny
+    img8 = np.asarray(
+        make_device_frame_renderer(gui_w, gui_h)(jnp.asarray(u), jnp.asarray(mask))
+    )
+
+    paths = [str(tmp_path / "a.mp4"), str(tmp_path / "b.mp4")]
+    rec = VideoRecorder(paths[0], gui_w, gui_h, fps=5)
+    rec.start()
+    rec.write_frame_u8(img8)
+    rec.stop()
+    rec2 = VideoRecorder(paths[1], gui_w, gui_h, fps=5)
+    rec2.start()
+    rec2.write_frame(img8.astype(np.float32) / 255.0)
+    rec2.stop()
+
+    frames = []
+    for p in paths:
+        cap = cv2.VideoCapture(p)
+        ok, frame = cap.read()
+        cap.release()
+        assert ok
+        frames.append(frame)
+    # same codec, same input bytes -> identical encoded output
+    np.testing.assert_array_equal(frames[0], frames[1])
+
+
+def test_overlay_on_u8_frame():
+    ny, nx = 48, 96
+    u, mask = _field(ny, nx, seed=4)
+    img8 = np.asarray(
+        make_device_frame_renderer(nx, 2 * ny)(jnp.asarray(u), jnp.asarray(mask))
+    )
+    zones = {
+        "nx": nx, "ny": ny, "sponge_in": 4, "sponge_out": 8,
+        "sponge_top": 3, "sponge_bot": 3, "roi_x_start": 20,
+        "roi_x_end": 80, "roi_y_start": 10, "roi_y_end": 40,
+    }
+    out = draw_zone_overlay(img8.copy(), zones)
+    col = int(4 * nx / nx)
+    assert tuple(out[0, col]) == (0, 255, 0)  # green sponge line at u8 scale
