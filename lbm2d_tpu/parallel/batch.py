@@ -354,14 +354,78 @@ class BatchEngine:
             "stable": packed[3 * b :] > 0.5,
         }
         self.last_monitors = out
+        self._alive_np &= out["stable"]
         return out
 
+    def set_state(self, state: LBMState, alive) -> None:
+        """Restore engine state + alive flags (checkpoint resume)."""
+        self.state = state
+        self.alive = jnp.asarray(alive)
+        self._alive_np = np.asarray(alive).astype(bool).copy()
+        self._mon_full = None
+
+    @staticmethod
+    def _ladder(n: int, cap: int) -> int:
+        """Smallest power of two >= n (capped): bounds compaction recompiles
+        to log2(B) distinct batch shapes."""
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
     def _run_step_sequential(self, n: int) -> Dict[str, jnp.ndarray]:
-        self.state, self.alive, mon = _run_chunk_sequential(
-            self.state, self.params, self.alive, n, self.batch,
-            self._interpret,
+        """Sequential-Pallas chunk with dead-case compaction.
+
+        The traced chunk unrolls one kernel call per stacked case, so a
+        where-frozen dead case still burns its full kernel time (the
+        lax.cond skip only works at B <= 8; its branch buffering OOMs
+        larger batches). Instead the HOST re-packs at chunk boundaries:
+        gather the alive cases to a power-of-two batch, run the compact
+        chunk, scatter results back. Gather+scatter traffic is ~2 state
+        copies per ~n-step chunk (<1% of chunk work); distinct compact
+        sizes are log2-bounded so recompiles are too. Dropped cases keep
+        their frozen state and report their last monitors.
+        """
+        idx = np.nonzero(self._alive_np)[0]
+        bc = self._ladder(max(len(idx), 1), self.batch)
+        if bc == self.batch:
+            self.state, self.alive, mon = _run_chunk_sequential(
+                self.state, self.params, self.alive, n, self.batch,
+                self._interpret,
+            )
+            self._mon_full = mon
+            return mon
+        if self._mon_full is None:
+            # first compacted chunk: seed the frozen-monitor cache
+            self._mon_full = {
+                "force": jnp.zeros((self.batch, 2), jnp.float32),
+                "max_v": jnp.zeros((self.batch,), jnp.float32),
+                "stable": jnp.asarray(self._alive_np),
+            }
+        if len(idx) == 0:
+            return self._mon_full  # whole batch dead: nothing to advance
+        # pad the gather list up to the ladder size with case idx[0]; the
+        # duplicates are masked dead so they freeze and never scatter back
+        pad = np.concatenate([idx, np.full(bc - len(idx), idx[0], idx.dtype)])
+        pad_dev = jnp.asarray(pad)
+        take = lambda x: jnp.take(x, pad_dev, axis=0)
+        st_c = jax.tree.map(take, self.state)
+        p_c = jax.tree.map(take, self.params)
+        alive_c = jnp.asarray(np.arange(bc) < len(idx))
+        st_c, alive_c, mon_c = _run_chunk_sequential(
+            st_c, p_c, alive_c, n, bc, self._interpret
         )
-        return mon
+        live = jnp.asarray(idx)
+        self.state = jax.tree.map(
+            lambda full, c: full.at[live].set(c[: len(idx)]),
+            self.state, st_c,
+        )
+        self.alive = self.alive.at[live].set(alive_c[: len(idx)])
+        self._mon_full = jax.tree.map(
+            lambda full, c: full.at[live].set(c[: len(idx)]),
+            self._mon_full, dict(mon_c),
+        )
+        return self._mon_full
 
     def get_moments(self) -> np.ndarray:
         return np.asarray(moments_batched(self.state))

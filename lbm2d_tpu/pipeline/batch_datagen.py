@@ -224,14 +224,16 @@ def run_lockstep_group(
                 if int(z["n_cases"]) == n_cases:
                     import jax.numpy as jnp
 
-                    engine.state = engine.state.replace(
-                        f=jnp.asarray(z["f"]),
-                        f_post=jnp.asarray(z["f_post"]),
-                        rho=jnp.asarray(z["rho"]),
-                        u=jnp.asarray(z["u"]),
-                        step=jnp.asarray(z["step"]),
+                    engine.set_state(
+                        engine.state.replace(
+                            f=jnp.asarray(z["f"]),
+                            f_post=jnp.asarray(z["f_post"]),
+                            rho=jnp.asarray(z["rho"]),
+                            u=jnp.asarray(z["u"]),
+                            step=jnp.asarray(z["step"]),
+                        ),
+                        z["alive"],
                     )
-                    engine.alive = jnp.asarray(z["alive"])
                     steps = int(z["steps"])
                     print(f"[Checkpoint] group resumed at step {steps}")
 

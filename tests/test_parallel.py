@@ -220,6 +220,47 @@ def test_batch_divergence_freezes_only_bad_case():
     assert np.isfinite(np.asarray(be.state.f[0])).all()
 
 
+def test_batch_dead_case_compaction_matches_full(monkeypatch):
+    """Host-side dead-case re-packing (VERDICT round-2 item 5): with half
+    the batch dead, the sequential runner gathers the alive cases into a
+    power-of-two compact batch, advances it, and scatters back -- alive
+    cases bitwise match an all-alive engine, dead cases stay frozen, and
+    monitors keep full-batch indexing."""
+    nx, ny = 64, 32
+    cfgs = [grid_config(nx, ny, rho_in=1.01 + 0.01 * i) for i in range(4)]
+    masks = [block_mask(ny, nx)] * 4
+
+    ref = BatchEngine(cfgs, masks, runner="pallas")
+    eng = BatchEngine(cfgs, masks, runner="pallas")
+    ref.run_step(10)
+    eng.run_step(10)
+
+    # kill cases 1 and 3 (as if their breakers tripped)
+    frozen = jax.tree.map(lambda x: np.asarray(x), eng.state)
+    eng.set_state(eng.state, np.array([True, False, True, False]))
+    ref.run_step(10)
+    mon = eng.run_step(10)  # compact batch of 2 under the hood
+
+    for b in (0, 2):  # alive: bitwise equal to the never-killed engine
+        np.testing.assert_array_equal(
+            np.asarray(eng.state.f[b]), np.asarray(ref.state.f[b])
+        )
+        assert mon["stable"][b]
+    for b in (1, 3):  # dead: frozen in place
+        np.testing.assert_array_equal(np.asarray(eng.state.f[b]), frozen.f[b])
+        np.testing.assert_array_equal(
+            np.asarray(eng.state.step[b]), frozen.step[b]
+        )
+    assert mon["force"].shape == (4, 2) and mon["max_v"].shape == (4,)
+    assert (eng.alive_mask == [True, False, True, False]).all()
+
+    # all-dead: run_step becomes a no-op on state
+    eng.set_state(eng.state, np.zeros(4, bool))
+    before = np.asarray(eng.state.f)
+    eng.run_step(10)
+    np.testing.assert_array_equal(np.asarray(eng.state.f), before)
+
+
 def test_sharded_corner_transport():
     """A point disturbance near a 4-shard corner must cross diagonally --
     exercises the two-hop corner halo (x exchange then y exchange)."""
