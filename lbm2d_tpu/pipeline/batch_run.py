@@ -60,7 +60,33 @@ def run_batch(
     root: str = ".",
     progress: bool = True,
     device_resize: bool = False,
+    lockstep: bool = False,
+    max_batch: int = 16,
+    f16_transfer: bool = False,
+    video: bool = True,
 ) -> Dict[str, int]:
+    """Run every pending case of a project (reference batch_run contract).
+
+    ``lockstep=True`` delegates execution to the vmap/sequential-Pallas
+    lockstep engine (pipeline/batch_datagen.run_batched), which shares this
+    entry's exact resume/status/summary/NPZ contract -- same
+    sim_results.json keys, same skip semantics, same artifact set
+    (including per-case video since the device renderer) -- but advances
+    same-shape cases together for throughput. The serial per-case loop
+    below remains the default (reference wall-time accounting parity,
+    /root/reference/src/lbm_mrt_les/pipeline/batch_run.py:292-299).
+    """
+    if lockstep:
+        if max_success is not None:
+            raise ValueError("--max_success is a serial-loop feature; "
+                             "not supported with --lockstep")
+        from .batch_datagen import run_batched
+
+        return run_batched(
+            project_name, max_batch=max_batch, root=root, progress=progress,
+            device_resize=device_resize, f16_transfer=f16_transfer,
+            video=video,
+        )
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
 
@@ -184,8 +210,24 @@ def main() -> None:
         "(ships [9,256,W'] instead of the full grid; overlapped with the "
         "next chunk's compute)",
     )
+    ap.add_argument(
+        "--lockstep", action="store_true",
+        help="advance same-shape cases together on the lockstep engine "
+        "(same resume/status/artifact contract, higher throughput)",
+    )
+    ap.add_argument("--max_batch", type=int, default=16,
+                    help="lockstep group size cap (with --lockstep)")
+    ap.add_argument("--f16_transfer", action="store_true",
+                    help="f16 dataset fetches (with --lockstep)")
+    ap.add_argument("--no_video", action="store_true",
+                    help="skip per-case mp4 (with --lockstep)")
     args = ap.parse_args()
-    run_batch(args.project_name, args.max_success, device_resize=args.device_resize)
+    run_batch(
+        args.project_name, args.max_success,
+        device_resize=args.device_resize, lockstep=args.lockstep,
+        max_batch=args.max_batch, f16_transfer=args.f16_transfer,
+        video=not args.no_video,
+    )
 
 
 if __name__ == "__main__":

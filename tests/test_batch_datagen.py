@@ -147,6 +147,32 @@ def test_lockstep_video_matches_serial_composer(tmp_path):
     assert entries[-1]["run_summary"]["video_file"] == "mask_00_Nu0-0500.mp4"
 
 
+def test_batch_run_lockstep_delegation(tmp_path):
+    """batch_run --lockstep keeps the CLI's resume/status/artifact contract
+    while executing on the lockstep engine (VERDICT round-2 item 3)."""
+    from lbm2d_tpu.pipeline.batch_run import run_batch
+
+    root = str(tmp_path)
+    names = make_two_case_project(root, name="LK")
+    stats = run_batch("LK", root=root, progress=False, lockstep=True,
+                      max_batch=8)
+    assert stats["success"] == 2, stats
+    plots = os.path.join(root, "outputs", "LK", "plots")
+    with open(os.path.join(plots, "sim_results.json")) as fh:
+        entries = {e["config_filename"]: e for e in json.load(fh)}
+    for name in names:
+        assert entries[name]["status"] == "Success"
+    assert os.path.exists(os.path.join(plots, "all_cases_vectors.npz"))
+    # resume semantics preserved through the delegated path
+    stats2 = run_batch("LK", root=root, progress=False, lockstep=True)
+    assert stats2["success"] == 0 and stats2["skipped"] == 2
+    try:
+        run_batch("LK", root=root, lockstep=True, max_success=1)
+        assert False, "max_success must be rejected with lockstep"
+    except ValueError:
+        pass
+
+
 def test_device_resize_matches_host_path(tmp_path):
     """--device_resize output matches the host cv2 path within fp tolerance."""
     root_a = str(tmp_path / "host")
