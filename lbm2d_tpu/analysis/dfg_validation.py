@@ -59,7 +59,7 @@ def cylinder_case(nx=800, ny=400, diameter=40, u_target=0.08, re=150.0):
     return cfg, mask
 
 
-def dfg_case(ny=164, u_max=0.1, re=100.0):
+def dfg_case(ny=164, u_max=0.1, re=100.0, obstacle="bounce_back"):
     """The true DFG-2D cylinder benchmark (Schaefer-Turek 2D-2, Re = 100).
 
     Geometry: 2.2 m x 0.41 m channel, cylinder D = 0.1 m centered at
@@ -97,7 +97,10 @@ def dfg_case(ny=164, u_max=0.1, re=100.0):
         "boundary_condition": {
             "type": [3, 0, 1, 0],
             "value": [[u_max, 0.0]] + [[0.0, 0.0]] * 3,
-            "obstacle": "bounce_back",
+            # "bounce_back" (full-way) or "bounce_back_halfway": the
+            # half-way scheme removes the full-way one-step reflection lag
+            # (the known fix for its wall-location bias in St)
+            "obstacle": obstacle,
         },
         "domain_zones": {
             "sponge_in": 1, "sponge_out": 1, "sponge_top": 1, "sponge_bot": 1,
@@ -123,9 +126,12 @@ def run_validation(
     u_target: float = 0.08,
     progress: bool = True,
     mode: str = "pressure",
+    obstacle: str = "bounce_back",
 ) -> Dict:
     if mode == "dfg":
-        cfg, mask, diameter = dfg_case(ny=ny, u_max=u_target, re=re)
+        cfg, mask, diameter = dfg_case(
+            ny=ny, u_max=u_target, re=re, obstacle=obstacle
+        )
         nx = cfg["simulation"]["nx"]
     else:
         cfg, mask = cylinder_case(nx, ny, diameter, u_target, re)
@@ -149,9 +155,14 @@ def run_validation(
     for i in range(n_chunks):
         engine.run_step(chunk)
         if force_mask is not None:
-            from ..core.solver import force_on_obstacle
+            from ..core.solver import obstacle_force
 
-            f = np.asarray(force_on_obstacle(engine.state.f_post, force_mask))
+            f = np.asarray(
+                obstacle_force(
+                    engine.state.f_post, force_mask,
+                    engine.params.halfway_obstacle,
+                )
+            )
         else:
             f = engine.get_force()
         max_v = engine.get_max_velocity()
@@ -192,6 +203,11 @@ def run_validation(
     fitted, popt = fit_sine_wave(ts[half:], fy[half:])
     result = {
         "re_target": re,
+        "mode": mode,
+        "obstacle": obstacle if mode == "dfg" else "equilibrium",
+        "ny": ny,
+        "diameter_px": diameter,
+        "steps": int(ts[-1]) if len(ts) else 0,
         "u_inlet_measured": u_in,
         "re_measured": u_in * diameter / cfg["simulation"]["nu"],
         "cd_mean": float(np.mean(cd_arr)),
@@ -236,14 +252,37 @@ def main() -> None:
         help="pressure = reference-style Zou-He channel; dfg = true "
         "Schaefer-Turek 2D benchmark (parabolic inlet, no-slip walls)",
     )
+    ap.add_argument(
+        "--obstacle", choices=("bounce_back", "bounce_back_halfway"),
+        default="bounce_back",
+        help="cylinder scheme in dfg mode: full-way or half-way bounce-back",
+    )
+    ap.add_argument(
+        "--out", default=None,
+        help="append the result to this JSON file (machine-readable "
+        "benchmark artifact, e.g. docs/benchmarks/dfg2d_results.json)",
+    )
     args = ap.parse_args()
     u_default = 0.1 if args.mode == "dfg" else 0.08
     res = run_validation(
         re=args.re, steps=args.steps, nx=args.nx, ny=args.ny,
         diameter=args.diameter, mode=args.mode, chunk=args.chunk,
         u_target=args.u if args.u is not None else u_default,
+        obstacle=args.obstacle,
     )
     print(json.dumps(res, indent=2))
+    if args.out:
+        import os
+
+        results = []
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                results = json.load(fh)
+        results.append(res)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"[saved] {args.out} ({len(results)} entries)")
 
 
 if __name__ == "__main__":
