@@ -84,6 +84,12 @@ _MB = 1024 * 1024
 # interpret mode.
 _PIPELINE_MIN_BYTES = None
 
+# temporal-blocking overrides (None = auto): _FUSE_STEPS forces the fused
+# sub-step count (1 disables fusion; auto fuses beyond-VMEM grids only),
+# _FUSE_BH forces the fused band height (tests use tiny bands)
+_FUSE_STEPS = None
+_FUSE_BH = None
+
 
 def _pipeline_min_bytes():
     if _PIPELINE_MIN_BYTES is not None:
@@ -252,7 +258,7 @@ def _stream_band(scratch_in, BH: int, BW: int, PX: int):
 
 def _apply_bc_band(
     f_new, rho, ux, uy, scal_ref, i, j, *, Hg, Wg, HL, WL, BH, BW, bc_type,
-    offs=None,
+    offs=None, stride=None, srow=0, owner_rows=None,
 ):
     """In-tile boundary conditions in apply_bc's sequential order
     (left/right columns, then top/bottom rows including corners).
@@ -271,10 +277,15 @@ def _apply_bc_band(
     measured +72us/step at 1024^2. Non-owner shards thus pay the BC math on
     their edge bands but the masks select nothing.
     """
-    ramp = scal_ref[0, _S_RAMP]
-    rho_in = scal_ref[0, _S_RHOIN]
-    rho_out = scal_ref[0, _S_RHOOUT]
+    ramp = scal_ref[srow, _S_RAMP]
+    rho_in = scal_ref[srow, _S_RHOIN]
+    rho_out = scal_ref[srow, _S_RHOOUT]
     y_off, x_off = offs if offs is not None else (0, 0)
+    # ``stride`` decouples the band stride from the block height: the fused
+    # multi-step kernel applies BCs on the FULL (BH + 2*PY)-row window while
+    # bands advance by BH rows (stride < window height), so global-row math
+    # uses the stride and iota shapes use the window height.
+    st = BH if stride is None else stride
 
     # Mosaic cannot lower functional .at[].set (scatter) nor strip<->plane
     # reshapes, so each edge's BC is computed tile-wide -- the neighbor field
@@ -283,7 +294,7 @@ def _apply_bc_band(
     # rolls only reaches masked-off cells.
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
-    rows_g = y_off + i * BH + row_ids
+    rows_g = y_off + i * st + row_ids
     inner = (rows_g >= 1) & (rows_g <= Hg - 2)  # [BH, BW]
     # Edge-column / edge-row masks. Single-chip: constant iota comparisons
     # (Mosaic folds them to constant vectors). Sharded: compare the constant
@@ -304,8 +315,8 @@ def _apply_bc_band(
     else:
         m_left = lambda: col_ids == -(x_off + j * BW)
         m_right = lambda: col_ids == Wg - 1 - x_off - j * BW
-        m_top = lambda: row_ids == Hg - 1 - y_off - i * BH
-        m_bot = lambda: row_ids == -(y_off + i * BH)
+        m_top = lambda: row_ids == Hg - 1 - y_off - i * st
+        m_bot = lambda: row_ids == -(y_off + i * st)
 
     def roll_x(shift):
         # value at (y, x + shift_src): pltpu.roll needs non-negative shifts
@@ -332,7 +343,7 @@ def _apply_bc_band(
                 # parabolic profile from global rows; SAME f32 op order as
                 # make_params/parabolic_profile -> bitwise equality
                 dtype = f_new.dtype
-                umax = scal_ref[0, _S_BCV + 0]
+                umax = scal_ref[srow, _S_BCV + 0]
                 hm = jnp.asarray(float(Hg - 1), dtype)
                 yy = rows_g.astype(dtype)
                 prof = (4.0 * umax) * yy * (hm - yy) / (hm * hm)
@@ -357,7 +368,7 @@ def _apply_bc_band(
     # neighbor c_r - 1 is in the same tile by _pick_tiles)
     j_r, c_r = divmod(WL - 1, BW)
     if bc_type[2] in (BC_OUTLET, BC_INLET, BC_FREE_SLIP):
-        bcv2 = jnp.stack([scal_ref[0, _S_BCV + 4], scal_ref[0, _S_BCV + 5]])
+        bcv2 = jnp.stack([scal_ref[srow, _S_BCV + 4], scal_ref[srow, _S_BCV + 5]])
 
         def _right(f_new=f_new, rho=rho, ux=ux, uy=uy):
             nb = roll_x(1)
@@ -381,15 +392,20 @@ def _apply_bc_band(
     # gated on the owning band's program id via lax.cond, so interior bands
     # skip the (full-width f_eq-heavy) BC math entirely. _pick_bands
     # guarantees the neighbor row lives in the same band.
+    # windowed mode (owner_rows set): a global edge row can fall inside the
+    # overlap region of TWO consecutive bands' windows; every band whose
+    # window holds a validly-computed copy must apply the BC so later
+    # sub-steps stream consistent values from either copy.
     i_top, r_top = divmod(HL - 1, BH)
-    for side, band, m_row, shift in (
-        (1, i_top, m_top, 1),
-        (3, 0, m_bot, -1),
+    owners = owner_rows or {1: (i_top,), 3: (0,)}
+    for side, bands, m_row, shift in (
+        (1, owners[1], m_top, 1),
+        (3, owners[3], m_bot, -1),
     ):  # m_row is a thunk; see above
         bcv_off = _S_BCV + 2 if side == 1 else _S_BCV + 6
         if bc_type[side] not in (BC_INLET, BC_FREE_SLIP):
             continue
-        bcv = jnp.stack([scal_ref[0, bcv_off], scal_ref[0, bcv_off + 1]])
+        bcv = jnp.stack([scal_ref[srow, bcv_off], scal_ref[srow, bcv_off + 1]])
 
         def _with_bc(f_new=f_new, rho=rho, ux=ux, uy=uy, side=side, m_row=m_row, shift=shift, bcv=bcv):
             nb = roll_y(shift)
@@ -407,9 +423,341 @@ def _apply_bc_band(
         def _without(f_new=f_new, rho=rho, ux=ux, uy=uy):
             return f_new, rho, ux, uy
 
-        f_new, rho, ux, uy = jax.lax.cond(i == band, _with_bc, _without)
+        pred = (i == bands[0])
+        for b in bands[1:]:
+            pred = pred | (i == b)
+        f_new, rho, ux, uy = jax.lax.cond(pred, _with_bc, _without)
 
     return f_new, rho, ux, uy
+
+
+def _fused_apply_bc(
+    f_new, rho, ux, uy, scal_ref, i, s, lo, *, Hg, Wg, BW, BH, bc_type,
+    owner_top,
+):
+    """In-window BCs for one fused sub-step, in apply_bc's sequential order.
+
+    Left/right edge math runs on 128-lane strips (the full-plane variant
+    costs ~2x the collide itself at 4096 lanes -- it dominated fused v1's
+    runtime) merged back by static concatenation; top/bottom rows run
+    plane-wide but only on the static owner bands. Requires Wg == BW
+    (fused eligibility: W is already a lane multiple).
+    """
+    slab_h = f_new.shape[1]
+    ramp = scal_ref[s, _S_RAMP]
+    rho_in = scal_ref[s, _S_RHOIN]
+    rho_out = scal_ref[s, _S_RHOOUT]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (slab_h, 128), 0)
+    rows_g = i * BH - PY + lo + row_ids
+    col_full = jax.lax.broadcasted_iota(jnp.int32, (slab_h, BW), 1)
+    rows_g_full = i * BH - PY + lo + jax.lax.broadcasted_iota(
+        jnp.int32, (slab_h, BW), 0
+    )
+    inner_full = (rows_g_full >= 1) & (rows_g_full <= Hg - 2)
+
+    def roll_x(shift):
+        def r(a):
+            return pltpu.roll(a, shift % 128, axis=a.ndim - 1)
+
+        return r
+
+    def apply_edge(f_new, rho, ux, uy, vals, edge_col, strip_col):
+        # only the edge column of the strip result matters: broadcast that
+        # single lane across the plane under a (row, col) mask -- Mosaic
+        # cannot concatenate slabs with mismatched sublane offsets
+        fb, rho_b, ux_b, uy_b = vals
+        m = (col_full == edge_col) & inner_full
+        sl = slice(strip_col, strip_col + 1)
+        return (
+            jnp.where(m[None], fb[:, :, sl], f_new),
+            jnp.where(m, rho_b[:, sl], rho),
+            jnp.where(m, ux_b[:, sl], ux),
+            jnp.where(m, uy_b[:, sl], uy),
+        )
+
+    if bc_type[0] in (BC_INLET, BC_FREE_SLIP, BC_VEL_INLET):
+        fst = f_new[:, :, :128]
+        rst, uxs, uys = rho[:, :128], ux[:, :128], uy[:, :128]
+        nb = roll_x(-1)
+        prof = None
+        if bc_type[0] == BC_VEL_INLET:
+            # same f32 op order as make_params/parabolic_profile
+            dtype = f_new.dtype
+            umax = scal_ref[s, _S_BCV + 0]
+            hm = jnp.asarray(float(Hg - 1), dtype)
+            yy = rows_g.astype(dtype)
+            prof = (4.0 * umax) * yy * (hm - yy) / (hm * hm)
+        vals = bc_left_values(
+            nb(fst), nb(rst), nb(uxs), nb(uys), ramp, bc_type[0], rho_in,
+            u_prof=prof,
+        )
+        f_new, rho, ux, uy = apply_edge(f_new, rho, ux, uy, vals, 0, 0)
+
+    if bc_type[2] in (BC_OUTLET, BC_INLET, BC_FREE_SLIP):
+        bcv2 = jnp.stack([scal_ref[s, _S_BCV + 4], scal_ref[s, _S_BCV + 5]])
+        fst = f_new[:, :, BW - 128 :]
+        rst = rho[:, BW - 128 :]
+        uxs = ux[:, BW - 128 :]
+        uys = uy[:, BW - 128 :]
+        nb = roll_x(1)
+        vals = bc_right_values(
+            nb(fst), nb(rst), nb(uxs), nb(uys), ramp, bc_type[2], rho_out,
+            bcv2,
+        )
+        f_new, rho, ux, uy = apply_edge(
+            f_new, rho, ux, uy, vals, BW - 1, 127
+        )
+
+    # top/bottom rows, full width including corners (reads the just-merged
+    # edge columns, preserving apply_bc's corner order); owner bands only
+    row_ids_w = jax.lax.broadcasted_iota(jnp.int32, (slab_h, BW), 0)
+    for side, bands, g_row, shift in (
+        (1, owner_top, Hg - 1, 1),
+        (3, (0,), 0, -1),
+    ):
+        if bc_type[side] not in (BC_INLET, BC_FREE_SLIP):
+            continue
+        bcv_off = _S_BCV + 2 if side == 1 else _S_BCV + 6
+        bcv = jnp.stack([scal_ref[s, bcv_off], scal_ref[s, bcv_off + 1]])
+
+        def _with_bc(f_new=f_new, rho=rho, ux=ux, uy=uy, g_row=g_row,
+                     shift=shift, bcv=bcv, side=side):
+            def nb(a):
+                return pltpu.roll(a, shift % slab_h, axis=a.ndim - 2)
+
+            fb, rho_b, ux_b, uy_b = bc_horizontal_values(
+                nb(f_new), nb(rho), nb(ux), nb(uy), ramp, bc_type[side], bcv
+            )
+            m = row_ids_w == g_row + PY - lo - i * BH
+            return (
+                jnp.where(m[None], fb, f_new),
+                jnp.where(m, rho_b, rho),
+                jnp.where(m, ux_b, ux),
+                jnp.where(m, uy_b, uy),
+            )
+
+        def _without(f_new=f_new, rho=rho, ux=ux, uy=uy):
+            return f_new, rho, ux, uy
+
+        pred = i == bands[0]
+        for b in bands[1:]:
+            pred = pred | (i == b)
+        f_new, rho, ux, uy = jax.lax.cond(pred, _with_bc, _without)
+    return f_new, rho, ux, uy
+
+
+def _fused_kernel(
+    scal_ref,  # SMEM (S, 14) -- one scalar row per fused sub-step
+    fp_hbm,  # HBM [9, Hp + 2*PY, Wp]
+    aux_hbm,  # HBM [Hp + 2*PY, Wp] packed damp+mask, window-padded like fp
+    nbb_hbm,  # HBM [Hp + 2*PY, Wp] int32 neighbor-solid bits, or None
+    fp_new_hbm,  # HBM [9, Hp + 2*PY, Wp]
+    buf_a,  # VMEM (9, WH, Wp) ping
+    buf_b,  # VMEM (9, WH, Wp) pong
+    s_aux,  # VMEM (WH, Wp)
+    s_nbb,  # VMEM (WH, Wp) int32, or None
+    sem_in,
+    sem_aux,
+    sem_out,
+    *,
+    Hg: int,
+    Wg: int,
+    BH: int,
+    BW: int,
+    S: int,
+    use_les: bool,
+    bc_type,
+    bounce: bool,
+    owner_top,
+):
+    """Temporal blocking: S fused lattice steps per HBM pass.
+
+    Beyond-VMEM grids are DMA-throughput-bound (BASELINE round 2: 4096^2
+    plateaus ~3.7k MLUPS for every band height 48..128 -- the per-step
+    read+write of the full f field caps the step rate, not per-program
+    overhead). Each program loads one (BH + 2*PY)-row window, advances it S
+    steps ENTIRELY in VMEM, and stores the BH center rows -- f traffic drops
+    by ~S.
+
+    Correctness is the trapezoid argument: after sub-step s only window rows
+    [s, WH - s) are valid (each step consumes one halo row per side), and
+    the stored center [PY, PY + BH) stays valid for S <= PY. Boundary
+    conditions apply IN-WINDOW after every sub-step (the standard
+    in-kernel-BC data flow, so sub-steps are bitwise-equal to full-grid
+    steps); a BC row falling in two overlapping windows is applied in both
+    (``owner_top``), keeping every valid copy identical. Roll wrap-around
+    and pad-row garbage land only on the ring (BC-rewritten) or the
+    invalid fringe.
+    """
+    WH = BH + 2 * PY
+    i = pl.program_id(0)
+    y0 = i * BH
+    w9 = [float(W[k]) for k in range(9)]
+
+    copies = [
+        pltpu.make_async_copy(
+            fp_hbm.at[:, pl.ds(y0, WH), :], buf_a, sem_in
+        ),
+        pltpu.make_async_copy(
+            aux_hbm.at[pl.ds(y0, WH), :], s_aux, sem_aux
+        ),
+    ]
+    if nbb_hbm is not None:
+        copies.append(
+            pltpu.make_async_copy(
+                nbb_hbm.at[pl.ds(y0, WH), :], s_nbb, sem_aux
+            )
+        )
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    cur, nxt = buf_a, buf_b
+    for s in range(S):
+        # sub-step s consumes window rows [s, WH - s) (valid after s prior
+        # sub-steps) and produces the shrunk slab [s + 1, WH - s - 1):
+        # y-streaming is pure static ref slicing (no sublane rolls),
+        # x-streaming lane rolls whose wrap lands on the BC-rewritten ring
+        lo = s + 1
+        slab_h = WH - 2 * s - 2
+        fs = []
+        for k in range(9):
+            ey, ex = int(E[k, 1]), int(E[k, 0])
+            plane = cur[k, lo - ey : lo - ey + slab_h, :]
+            if ex:
+                plane = pltpu.roll(plane, ex % BW, axis=1)
+            fs.append(plane)
+        if nbb_hbm is not None:
+            bits = s_nbb[lo : lo + slab_h, :]
+            for k in range(1, 9):
+                nb_solid = ((bits >> k) & 1) != 0
+                fs[k] = jnp.where(
+                    nb_solid, cur[int(OPP[k]), lo : lo + slab_h, :], fs[k]
+                )
+        fs = jnp.stack(fs)
+        solid, damp = _unpack_aux(s_aux[lo : lo + slab_h, :])
+        f_post, rho, ux, uy = mrt_collide_arrays(
+            fs, damp, scal_ref[s, _S_TAU0], scal_ref[s, _S_CSF],
+            scal_ref[s, _S_SG], use_les,
+        )
+        if bounce:
+            f_bb = jnp.stack([fs[int(OPP[k])] for k in range(9)])
+            f_post = jnp.where(solid[None], f_bb, f_post)
+        f_new, rho, ux, uy = _fused_apply_bc(
+            f_post, rho, ux, uy, scal_ref, i, s, lo,
+            Hg=Hg, Wg=Wg, BW=BW, BH=BH, bc_type=bc_type,
+            owner_top=owner_top,
+        )
+        if bounce:
+            out = f_new
+        else:
+            f_eq_rest = jnp.stack([rho * wk for wk in w9])
+            out = jnp.where(solid[None], f_eq_rest, f_new)
+        nxt[:, lo : lo + slab_h, :] = out
+        cur, nxt = nxt, cur
+
+    store = pltpu.make_async_copy(
+        cur.at[:, pl.ds(PY, BH), :],
+        fp_new_hbm.at[:, pl.ds(y0 + PY, BH), :],
+        sem_out,
+    )
+    store.start()
+    store.wait()
+
+
+# measured on v5e at 4096 lanes: the fused kernel's scoped-VMEM stack is 61
+# f32 planes of window rows (two ping-pong window buffers + stream/collide/
+# BC values + Mosaic temporaries; the compiler reported 63.91MB at WH = 64)
+_FUSED_PLANES = 61
+
+
+def _pick_fused_tiles(h: int, w: int):
+    """(BH, S) for the temporal-blocking kernel: window height from the
+    wide-grid scoped budget at the measured _FUSED_PLANES live set; S = 4
+    uses half of the PY = 8 trapezoid margin (each sub-step consumes one
+    row of validity per side)."""
+    b = budgets()
+    wp = _round_up(w, LANE)
+    wh = (b.wide_limit_bytes + 8 * _MB) // (_FUSED_PLANES * 4 * wp)
+    wh = max(32, (wh // 16) * 16)
+    return wh - 2 * PY, 4
+
+
+def _fused_owner_top(Hg: int, BH: int, nprog: int):
+    """Static band indices whose window contains the global top row."""
+    WH = BH + 2 * PY
+    return tuple(
+        ib for ib in range(nprog) if 0 <= Hg - 1 + PY - ib * BH < WH
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "S", "use_les", "bc_type", "interpret", "bounce"),
+)
+def _pallas_fused_steps(
+    fp, aux_p2, scalars, dims, S, use_les, bc_type, interpret,
+    bounce=False, nbb_p2=None,
+):
+    """S fused lattice updates on the padded buffer. dims = (Hg, Wg, Hp, BH,
+    Wp); aux_p2/nbb_p2 are window-padded [Hp + 2*PY, Wp] (global row g at
+    padded row g + PY, like fp)."""
+    Hg, Wg, Hp, BH, Wp = dims
+    WH = BH + 2 * PY
+    nprog = Hp // BH
+    dtype = fp.dtype
+    halfway = nbb_p2 is not None
+    owner_top = _fused_owner_top(Hg, BH, nprog)
+
+    def kernel(*refs):
+        it = iter(refs)
+        scal = next(it)
+        fh, auxh = next(it), next(it)
+        nbbh = next(it) if halfway else None
+        fn = next(it)
+        ba, bb, sa = next(it), next(it), next(it)
+        snb = next(it) if halfway else None
+        semi, sema, semo = next(it), next(it), next(it)
+        _fused_kernel(
+            scal, fh, auxh, nbbh, fn, ba, bb, sa, snb, semi, sema, semo,
+            Hg=Hg, Wg=Wg, BH=BH, BW=Wp, S=S, use_les=use_les,
+            bc_type=bc_type, bounce=bounce, owner_top=owner_top,
+        )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    args = [scalars, fp, aux_p2]
+    if halfway:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        args.append(nbb_p2)
+
+    # measured live set (_FUSED_PLANES window rows) + headroom
+    need = 4 * _FUSED_PLANES * WH * Wp + 12 * _MB
+    (out,) = pl.pallas_call(
+        kernel,
+        grid=(nprog,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=[jax.ShapeDtypeStruct(fp.shape, dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=need),
+        scratch_shapes=[
+            pltpu.VMEM((9, WH, Wp), dtype),
+            pltpu.VMEM((9, WH, Wp), dtype),
+            pltpu.VMEM((WH, Wp), dtype),
+        ]
+        + ([pltpu.VMEM((WH, Wp), jnp.int32)] if halfway else [])
+        + [
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(*args)
+    return out
 
 
 def _step_kernel(
@@ -1294,8 +1642,25 @@ def run_chunk_pallas(
     # the closing full step (in-kernel BCs + rho/u/f_post outputs) always
     # uses the full-width _pick_tiles geometry
     BW_s, PX_s = BW, PX
+    fuse_S = 0
     if split_bc and tiles is None:
         bh_fast, BW_s, PX_s = _pick_split_tiles(H, W_)
+        # temporal blocking (beyond-VMEM tier): S fused steps per HBM pass.
+        # Eligibility mirrors the pipelined tier -- full-width single column
+        # tile and a padded f too large to stay VMEM-resident.
+        if PX_s == 0 and BW_s == _round_up(W_, LANE):
+            # NOTE: fusion is currently OPT-IN (_FUSE_STEPS override): on
+            # v5e hardware the fused kernel measured 2.9k MLUPS at 4096^2 vs
+            # 3.8k for the pipelined split-BC path -- the beyond-VMEM tier
+            # turned out compute-bound at wide lanes, not HBM-bound, so
+            # cutting f traffic 4x does not pay at this geometry yet.
+            fu = _FUSE_STEPS
+            if fu and fu > 1:
+                fuse_S = min(int(fu), PY)
+                bh_f = _FUSE_BH or _pick_fused_tiles(H, W_)[0]
+                # one Hp granularity serves the fused, split-remainder and
+                # closing-full kernels
+                bh_fast = min(bh_fast, bh_f)
     Wp = _round_up(W_, BW)
     Wp_s = _round_up(W_, BW_s)
     Hp = _round_up(H, bh_fast)
@@ -1350,10 +1715,41 @@ def run_chunk_pallas(
             )
         return (fp_new, ec, er, step), None
 
-    carry = (fp, ec0, er0, state.step)
-    if n_steps > 1:
-        carry, _ = jax.lax.scan(fast_body, carry, None, length=n_steps - 1)
-    fp, _, _, step = carry
+    if fuse_S > 1 and n_steps > 1:
+        # temporal blocking: k fused passes of S steps, then the remainder
+        # on the split-BC single-step path
+        aux_w = jnp.pad(aux, ((PY, PY + (Hp - H)), (0, Wp_s - W_)))
+        nbb_w = (
+            None if nbb is None
+            else jnp.pad(nbb, ((PY, PY + (Hp - H)), (0, Wp_s - W_)))
+        )
+        fdims = (H, W_, Hp, bh_fast, Wp_s)
+        k, r = divmod(n_steps - 1, fuse_S)
+
+        def fused_body(carry, _):
+            fp, step = carry
+            scal_rows = jnp.concatenate(
+                [_scalars(p, step + 1 + s, dtype) for s in range(fuse_S)], 0
+            )
+            fp = _pallas_fused_steps(
+                fp, aux_w, scal_rows, fdims, fuse_S, p.use_les, p.bc_type,
+                interpret, bounce=p.bounce_obstacle, nbb_p2=nbb_w,
+            )
+            return (fp, step + fuse_S), None
+
+        carry = (fp, state.step)
+        if k:
+            carry, _ = jax.lax.scan(fused_body, carry, None, length=k)
+        fp, step0 = carry
+        carry = (fp, ec0, er0, step0)
+        if r:
+            carry, _ = jax.lax.scan(fast_body, carry, None, length=r)
+        fp, _, _, step = carry
+    else:
+        carry = (fp, ec0, er0, state.step)
+        if n_steps > 1:
+            carry, _ = jax.lax.scan(fast_body, carry, None, length=n_steps - 1)
+        fp, _, _, step = carry
     step = step + 1
     scal = _scalars(p, step, dtype)
     if (PX_s, Wp_s) != (PX, Wp):

@@ -169,6 +169,68 @@ def test_pipelined_multiband_halo_carry_matches_jnp(monkeypatch):
     )
 
 
+def test_fused_steps_match_jnp(monkeypatch):
+    """Temporal blocking (S fused steps per HBM pass) must be bitwise
+    identical to the jnp chunk. Geometry chosen to stress the trapezoid
+    bookkeeping: H = 120 with 16-row bands puts the global top row in the
+    overlap of the LAST TWO windows (both must apply the top BC), S = 3
+    with n_steps = 14 leaves a 1-step remainder on the split-BC path."""
+    import lbm2d_tpu.ops.pallas_step as ps
+
+    monkeypatch.setattr(ps, "_FUSE_STEPS", 3)
+    monkeypatch.setattr(ps, "_FUSE_BH", 16)
+    nx, ny = 128, 120
+    cfg = cfg_grid(nx, ny)
+    mask = np.zeros((ny, nx), np.float32)
+    mask[52:62, 40:50] = 1.0
+    p = make_params(cfg, mask)
+    assert len(ps._fused_owner_top(ny, 16, 120 // 16 + 1)) == 2
+    ref, ref_mon = run_chunk(init_state(ny, nx), p, 14)
+    out, mon = ps.run_chunk_pallas(
+        init_state(ny, nx), p, n_steps=14, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out.f), np.asarray(ref.f))
+    np.testing.assert_array_equal(np.asarray(out.u), np.asarray(ref.u))
+    np.testing.assert_allclose(
+        np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
+    )
+
+
+def test_fused_steps_dfg_modes_match_jnp(monkeypatch):
+    """Fused passes with the DFG extensions: full-way bounce-back and
+    half-way bounce-back obstacles under the parabolic velocity inlet."""
+    import lbm2d_tpu.ops.pallas_step as ps
+    from lbm2d_tpu.core.solver import BC_VEL_INLET
+
+    monkeypatch.setattr(ps, "_FUSE_STEPS", 2)
+    monkeypatch.setattr(ps, "_FUSE_BH", 16)
+    nx, ny = 128, 48
+    for obstacle in ("bounce_back", "bounce_back_halfway"):
+        cfg = cfg_grid(nx, ny)
+        cfg["boundary_condition"] = {
+            "type": [3, 0, 1, 0],
+            "value": [[0.08, 0.0]] + [[0.0, 0.0]] * 3,
+            "obstacle": obstacle,
+        }
+        mask = np.zeros((ny, nx), np.float32)
+        mask[0, :] = 1.0
+        mask[-1, :] = 1.0
+        mask[20:28, 30:38] = 1.0
+        p = make_params(cfg, mask)
+        assert p.bc_type[0] == BC_VEL_INLET
+        ref, ref_mon = run_chunk(init_state(ny, nx), p, 9)
+        out, mon = ps.run_chunk_pallas(
+            init_state(ny, nx), p, n_steps=9, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.f), np.asarray(ref.f), atol=1e-7,
+            err_msg=obstacle,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
+        )
+
+
 def test_dfg_modes_in_kernel_match_jnp():
     """Bounce-back obstacles + parabolic velocity inlet (type 3) now run in
     the fused kernel: near-bitwise vs the jnp path -- the in-kernel profile
