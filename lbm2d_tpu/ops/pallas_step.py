@@ -1169,6 +1169,7 @@ def _pallas_step(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         args += [h_lo, h_hi]
+    fp_idx = len(args)
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.HBM),
         pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -1195,6 +1196,15 @@ def _pallas_step(
         ]
         args += [ec_buf, er_buf]
         aliases = {base: 1, base + 1: 2}
+    if pipelined:
+        # Donate fp: the scan carry otherwise forces XLA to COPY the whole
+        # padded buffer every step (profiled 1.79 ms/step at 4096^2 -- as
+        # long as the kernel itself). In-place is safe ONLY under the
+        # halo-carry schedule: stores trail loads and touch disjoint rows
+        # (store j ends at j*BH + PY + BH - 1 < the next tail load's first
+        # row (j+1)*BH + 2*PY for PY < BH), and the 2*PY overlap rows come
+        # from VMEM, never re-read from HBM.
+        aliases[fp_idx] = 0
 
     outs = pl.pallas_call(
         kernel,

@@ -366,10 +366,16 @@ class BatchEngine:
 
     @staticmethod
     def _ladder(n: int, cap: int) -> int:
-        """Smallest power of two >= n (capped): bounds compaction recompiles
-        to log2(B) distinct batch shapes."""
+        """Smallest rung >= n from {2^k, 3*2^k} (capped): bounds compaction
+        recompiles to ~2*log2(B) distinct batch shapes while capping wasted
+        kernel calls at 4/3 of the alive count. The 3*2^k rungs matter at
+        realistic divergence rates: a pure power-of-two ladder rounds 48
+        alive of B=64 straight back to 64 and never compacts at all."""
         b = 1
         while b < n:
+            if 3 * b // 2 >= n and b % 2 == 0:
+                b = 3 * b // 2
+                break
             b *= 2
         return min(b, cap)
 

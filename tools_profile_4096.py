@@ -45,7 +45,7 @@ def main() -> None:
     print("planes:", paths, flush=True)
     if not paths:
         return
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
     xs = xplane_pb2.XSpace()
     xs.ParseFromString(open(paths[-1], "rb").read())
