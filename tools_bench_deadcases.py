@@ -19,12 +19,11 @@ def main() -> None:
     dead_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
 
     from __graft_entry__ import _cylinder_mask, _demo_config
-    from lbm2d_tpu.core.solver import make_params
     from lbm2d_tpu.parallel.batch import BatchEngine
 
     cfg = _demo_config(size, size, nu=0.01, warmup=2000)
-    params = [make_params(cfg, _cylinder_mask(size, size)) for _ in range(b)]
-    eng = BatchEngine(params, size, size)
+    mask = _cylinder_mask(size, size)
+    eng = BatchEngine([cfg] * b, [mask] * b, runner="pallas")
 
     spc, chunks = 100, 6
 
