@@ -113,6 +113,13 @@ def dfg_case(ny=164, u_max=0.1, re=100.0, obstacle="bounce_back"):
     mask = ((xx - cx) ** 2 + (yy - cy) ** 2 <= (diameter / 2.0) ** 2).astype(
         np.float32
     )
+    if obstacle == "bounce_back_bouzidi":
+        # the exact analytic circle the mask was rasterized from: make_params
+        # derives per-link sub-grid wall fractions (bouzidi_q_planes) from it
+        cfg["boundary_condition"]["obstacle_geometry"] = {
+            "shape": "cylinder", "cx": float(cx), "cy": float(cy),
+            "r": diameter / 2.0,
+        }
     return cfg, mask, diameter
 
 
@@ -159,8 +166,7 @@ def run_validation(
 
             f = np.asarray(
                 obstacle_force(
-                    engine.state.f_post, force_mask,
-                    engine.params.halfway_obstacle,
+                    engine.state.f_post, engine.params, mask=force_mask
                 )
             )
         else:
@@ -239,7 +245,11 @@ def run_validation(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--re", type=float, default=150.0)
+    ap.add_argument(
+        "--re", type=float, default=None,
+        help="target Reynolds number (default: 100 in dfg mode -- the "
+        "Schaefer-Turek 2D-2 benchmark value -- else 150)",
+    )
     ap.add_argument("--steps", type=int, default=40000)
     ap.add_argument("--nx", type=int, default=800)
     ap.add_argument("--ny", type=int, default=400)
@@ -253,9 +263,13 @@ def main() -> None:
         "Schaefer-Turek 2D benchmark (parabolic inlet, no-slip walls)",
     )
     ap.add_argument(
-        "--obstacle", choices=("bounce_back", "bounce_back_halfway"),
+        "--obstacle",
+        choices=(
+            "bounce_back", "bounce_back_halfway", "bounce_back_bouzidi",
+        ),
         default="bounce_back",
-        help="cylinder scheme in dfg mode: full-way or half-way bounce-back",
+        help="cylinder scheme in dfg mode: full-way, half-way, or Bouzidi "
+        "interpolated (sub-grid curved wall) bounce-back",
     )
     ap.add_argument(
         "--out", default=None,
@@ -264,8 +278,10 @@ def main() -> None:
     )
     args = ap.parse_args()
     u_default = 0.1 if args.mode == "dfg" else 0.08
+    re_default = 100.0 if args.mode == "dfg" else 150.0
     res = run_validation(
-        re=args.re, steps=args.steps, nx=args.nx, ny=args.ny,
+        re=args.re if args.re is not None else re_default,
+        steps=args.steps, nx=args.nx, ny=args.ny,
         diameter=args.diameter, mode=args.mode, chunk=args.chunk,
         u_target=args.u if args.u is not None else u_default,
         obstacle=args.obstacle,

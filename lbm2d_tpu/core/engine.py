@@ -119,10 +119,7 @@ class LBMEngine:
             if self._last_monitors is None:
                 from .solver import max_velocity, obstacle_force
 
-                force = obstacle_force(
-                    self.state.f_post, self.params.mask,
-                    self.params.halfway_obstacle,
-                )
+                force = obstacle_force(self.state.f_post, self.params)
                 max_v = max_velocity(self.state.u)
             else:
                 force = self._last_monitors["force"]

@@ -75,6 +75,14 @@ class CaseParams:
     # [H] per-row inlet velocity profile (BC_VEL_INLET left edge); None
     # otherwise.  Built by make_params (parabolic, LBM2D_MRT_LES.py:580-586).
     inlet_profile: Optional[jnp.ndarray] = None
+    # [8, H, W] wall-intersection fractions for Bouzidi interpolated
+    # bounce-back (obstacle = "bounce_back_bouzidi"); plane j-1 holds
+    # q_j(c) in (0, 1]: the fraction of the outgoing link c -> c + e_j at
+    # which the true (sub-grid) wall surface sits, for fluid cells whose
+    # +e_j neighbor is solid.  0.5 everywhere else (the scheme then reduces
+    # to half-way bounce-back).  Built by make_params from the analytic
+    # obstacle geometry (bouzidi_q_planes); None for the other modes.
+    bouzidi_q: Optional[jnp.ndarray] = None
     # --- static (part of the jit cache key) ---
     use_les: bool = struct.field(pytree_node=False, default=True)
     bc_type: Tuple[int, int, int, int] = struct.field(
@@ -92,6 +100,15 @@ class CaseParams:
     # for the full-way wall-location bias in the DFG St measurement).
     # NEW vs the reference (its archive solver is full-way only).
     halfway_obstacle: bool = struct.field(pytree_node=False, default=False)
+    # Bouzidi-Firdaouss-Lallemand (2001) linear interpolated bounce-back
+    # (obstacle = "bounce_back_bouzidi"): the returned population is
+    # interpolated so the no-slip surface sits at the TRUE wall distance q
+    # along each boundary link instead of the lattice midpoint -- removes
+    # the staircase wall-location error of the (half-way) schemes on curved
+    # obstacles.  Requires boundary_condition.obstacle_geometry (analytic
+    # shape) in the config; q = 1/2 links reduce bitwise to half-way.
+    # NEW vs the reference (no curved-boundary scheme exists there).
+    bouzidi_obstacle: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):
@@ -166,8 +183,24 @@ def make_params(
             parabolic_profile(ny, u_max, np_dtype), dtype
         )
     obstacle = str(bc.get("obstacle", "equilibrium"))
-    if obstacle not in ("equilibrium", "bounce_back", "bounce_back_halfway"):
+    if obstacle not in (
+        "equilibrium", "bounce_back", "bounce_back_halfway",
+        "bounce_back_bouzidi",
+    ):
         raise ValueError(f"unknown boundary_condition.obstacle {obstacle!r}")
+    bouzidi_q = None
+    if obstacle == "bounce_back_bouzidi":
+        geom = bc.get("obstacle_geometry")
+        if geom is None:
+            raise ValueError(
+                "obstacle 'bounce_back_bouzidi' needs "
+                "boundary_condition.obstacle_geometry (analytic shape for "
+                "the sub-grid wall distances)"
+            )
+        np_dtype = np.dtype(jnp.dtype(dtype).name).type
+        bouzidi_q = jnp.asarray(
+            bouzidi_q_planes(np.asarray(mask), geom, np_dtype), dtype
+        )
     c_smag = float(sim["smagorinsky_constant"])
     return CaseParams(
         mask=jnp.asarray(mask, dtype),
@@ -184,6 +217,8 @@ def make_params(
         bc_type=tuple(bc_types),
         bounce_obstacle=obstacle == "bounce_back",
         halfway_obstacle=obstacle == "bounce_back_halfway",
+        bouzidi_obstacle=obstacle == "bounce_back_bouzidi",
+        bouzidi_q=bouzidi_q,
     )
 
 
@@ -197,6 +232,67 @@ def parabolic_profile(ny: int, u_max: float, dtype=np.float64) -> np.ndarray:
     y = np.arange(ny, dtype=dtype)
     h = dtype(ny - 1)
     return (4.0 * dtype(u_max) * y * (h - y) / (h * h)).astype(dtype)
+
+
+def bouzidi_q_planes(
+    mask: np.ndarray, geom: dict, dtype=np.float32
+) -> np.ndarray:
+    """[8, H, W] sub-grid wall fractions for Bouzidi interpolated bounce-back.
+
+    Plane j-1 (j = 1..8) holds, for every fluid cell c whose +e_j neighbor
+    is solid, the smallest t in (0, 1] with c + t e_j on the analytic wall
+    surface.  Cells where the fraction is undefined (no analytic root --
+    staircase mask corners -- or a q < 1/2 link whose upstream interpolation
+    cell c - e_j is itself solid, which the two-point formula needs fluid)
+    fall back to q = 1/2, where the scheme reduces exactly to half-way
+    bounce-back.
+
+    ``geom``: {"shape": "cylinder", "cx": float, "cy": float, "r": float}
+    in lattice (cell-center) coordinates.
+    """
+    if str(geom.get("shape", "cylinder")) != "cylinder":
+        raise ValueError(f"unsupported obstacle_geometry {geom!r}")
+    cx, cy, r = float(geom["cx"]), float(geom["cy"]), float(geom["r"])
+    solid = np.asarray(mask) > 0.5
+    h, w = solid.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    dx = xx.astype(np.float64) - cx
+    dy = yy.astype(np.float64) - cy
+    cc = dx * dx + dy * dy - r * r  # quadratic constant term per cell
+
+    def shifted_solid(ddy, ddx):
+        """solid[y + ddy, x + ddx], out-of-bounds -> True (treat the domain
+        edge like a wall so no formula reaches past it)."""
+        out = np.ones_like(solid)
+        ys = slice(max(0, -ddy), min(h, h - ddy))
+        xs = slice(max(0, -ddx), min(w, w - ddx))
+        out[ys, xs] = solid[
+            max(0, ddy) : max(0, ddy) + (ys.stop - ys.start),
+            max(0, ddx) : max(0, ddx) + (xs.stop - xs.start),
+        ]
+        return out
+
+    q = np.full((8, h, w), 0.5, np.float64)
+    for j in range(1, 9):
+        ex, ey = int(E[j, 0]), int(E[j, 1])
+        link = (~solid) & shifted_solid(ey, ex)  # fluid c, solid c + e_j
+        a = float(ex * ex + ey * ey)
+        b = 2.0 * (dx * ex + dy * ey)
+        disc = b * b - 4.0 * a * cc
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t1 = (-b - sq) / (2.0 * a)
+        t2 = (-b + sq) / (2.0 * a)
+        in1 = (disc >= 0.0) & (t1 > 0.0) & (t1 <= 1.0)
+        in2 = (disc >= 0.0) & (t2 > 0.0) & (t2 <= 1.0)
+        t = np.where(in1, t1, np.where(in2, t2, 0.5))
+        # the q < 1/2 two-point formula interpolates with cell c - e_j;
+        # if that cell is solid the link degrades to half-way
+        behind_solid = shifted_solid(-ey, -ex)
+        t = np.where((t < 0.5) & behind_solid, 0.5, t)
+        # no lower clamp: only the q >= 1/2 branch divides by q, and the
+        # two-point q < 1/2 formula is well-behaved down to q -> 0
+        q[j - 1] = np.where(link, t, 0.5)
+    return q.astype(dtype)
 
 
 def init_state(ny: int, nx: int, dtype=jnp.float32) -> LBMState:
@@ -374,6 +470,30 @@ def collide_stream_full(f: jnp.ndarray, p: CaseParams):
             ex, ey = int(E[k, 0]), int(E[k, 1])
             nb_solid = shift2d(solid, -ey, -ex, False)
             planes.append(jnp.where(nb_solid, f[int(OPP[k])], fs[k]))
+        fs = jnp.stack(planes)
+    if p.bouzidi_obstacle:
+        # Bouzidi-Firdaouss-Lallemand linear interpolated bounce-back: the
+        # wall sits at fraction q along the outgoing link j = opp(k) (from
+        # this cell toward the solid pull source c - e_k).  With f = the
+        # previous post-collision field and q from CaseParams.bouzidi_q:
+        #   q < 1/2:  f_k <- 2q f_j(c) + (1 - 2q) f_j(c + e_k)
+        #   q >= 1/2: f_k <- f_j(c)/(2q) + (2q - 1)/(2q) f_k(c)
+        # q = 1/2 gives f_j(c) exactly -- the half-way scheme -- so plain
+        # masks (q planes all 1/2) stay bitwise-identical to half-way.
+        solid = p.mask > 0.5
+        planes = [fs[0]]
+        for k in range(1, 9):
+            ex, ey = int(E[k, 0]), int(E[k, 1])
+            j = int(OPP[k])
+            nb_solid = shift2d(solid, -ey, -ex, False)
+            q = p.bouzidi_q[j - 1]
+            f_j = f[j]
+            f_j_up = shift2d(f[j], ey, ex, 0.0)  # f_j at c + e_k = c - e_j
+            lo = 2.0 * q * f_j + (1.0 - 2.0 * q) * f_j_up
+            hi = f_j / (2.0 * q) + (2.0 * q - 1.0) / (2.0 * q) * f[k]
+            planes.append(
+                jnp.where(nb_solid, jnp.where(q < 0.5, lo, hi), fs[k])
+            )
         fs = jnp.stack(planes)
     f_post, rho, ux, uy = mrt_collide(fs, p)
     if p.bounce_obstacle:
@@ -670,13 +790,51 @@ def force_on_obstacle_halfway(f_post: jnp.ndarray, mask: jnp.ndarray) -> jnp.nda
     return jnp.stack([fx, fy])
 
 
-def obstacle_force(
-    f_post: jnp.ndarray, mask: jnp.ndarray, halfway: bool
+def force_on_obstacle_bouzidi(
+    f_post: jnp.ndarray, mask: jnp.ndarray, q_planes: jnp.ndarray
 ) -> jnp.ndarray:
-    """Momentum-exchange force with the scheme matching the obstacle mode."""
-    if halfway:
-        return force_on_obstacle_halfway(f_post, mask)
-    return force_on_obstacle(f_post, mask)
+    """Momentum-exchange force for Bouzidi interpolated bounce-back -> [2].
+
+    Per boundary link (fluid c, solid c + e_j): the wall absorbs the
+    outgoing post-collision population f_j(c) and emits the interpolated
+    return f_ret (the same formulas the streaming step applies), so the
+    exchanged momentum is (f_j + f_ret) e_j.  At q = 1/2 f_ret = f_j and
+    this reduces to force_on_obstacle_halfway's 2 f_j e_j.
+    """
+    solid = mask > 0.5
+    fx = jnp.zeros((), f_post.dtype)
+    fy = jnp.zeros((), f_post.dtype)
+    for j in range(1, 9):
+        ex, ey = int(E[j, 0]), int(E[j, 1])
+        k = int(OPP[j])
+        nb_solid = shift2d(solid, ey, ex, False)
+        q = q_planes[j - 1]
+        f_j = f_post[j]
+        f_j_up = shift2d(f_post[j], -ey, -ex, 0.0)  # f_j at c - e_j
+        lo = 2.0 * q * f_j + (1.0 - 2.0 * q) * f_j_up
+        hi = f_j / (2.0 * q) + (2.0 * q - 1.0) / (2.0 * q) * f_post[k]
+        f_ret = jnp.where(q < 0.5, lo, hi)
+        s = jnp.sum(
+            jnp.where((~solid) & nb_solid, f_j + f_ret, 0.0)
+        )
+        fx = fx + s * ex
+        fy = fy + s * ey
+    return jnp.stack([fx, fy])
+
+
+def obstacle_force(
+    f_post: jnp.ndarray, p: CaseParams, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Momentum-exchange force with the scheme matching the obstacle mode.
+
+    ``mask`` overrides ``p.mask`` (e.g. to measure the cylinder alone while
+    no-slip wall cells are also solid, DFG validation)."""
+    m = p.mask if mask is None else mask
+    if p.bouzidi_obstacle:
+        return force_on_obstacle_bouzidi(f_post, m, p.bouzidi_q)
+    if p.halfway_obstacle:
+        return force_on_obstacle_halfway(f_post, m)
+    return force_on_obstacle(f_post, m)
 
 
 def max_velocity(u: jnp.ndarray) -> jnp.ndarray:
@@ -697,7 +855,7 @@ def run_chunk(state: LBMState, p: CaseParams, n_steps: int, collide_fn=None):
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     monitors = {
-        "force": obstacle_force(state.f_post, p.mask, p.halfway_obstacle),
+        "force": obstacle_force(state.f_post, p),
         "max_v": max_velocity(state.u),
     }
     return state, monitors

@@ -147,6 +147,10 @@ def supports(p: CaseParams) -> bool:
     left_ok = lt in (BC_INLET, BC_FREE_SLIP) or (
         lt == BC_VEL_INLET and p.inlet_profile is not None
     )
+    if p.bouzidi_obstacle:
+        # Bouzidi interpolated bounce-back runs on the jnp path (the q-plane
+        # interpolation is not in the fused kernel); validation-scale grids
+        return False
     return (
         left_ok
         and rt in (BC_INLET, BC_OUTLET, BC_FREE_SLIP)
@@ -1791,7 +1795,7 @@ def run_chunk_pallas(
 
     new_state = LBMState(f=f, f_post=f_post, rho=rho, u=u, step=step)
     monitors = {
-        "force": obstacle_force(new_state.f_post, p.mask, p.halfway_obstacle),
+        "force": obstacle_force(new_state.f_post, p),
         "max_v": max_velocity(new_state.u),
     }
     return new_state, monitors

@@ -23,6 +23,7 @@ from ..core.solver import (
     CaseParams,
     LBMState,
     force_on_obstacle,
+    force_on_obstacle_bouzidi,
     force_on_obstacle_halfway,
     init_state,
     make_params,
@@ -58,10 +59,13 @@ _PARAM_AXES = CaseParams(
 
 
 def _param_axes(p: CaseParams) -> CaseParams:
-    """vmap in_axes matching ``p``'s treedef (inlet_profile is optional)."""
+    """vmap in_axes matching ``p``'s treedef (optional leaves included)."""
+    axes = _PARAM_AXES
     if p.inlet_profile is not None:
-        return _PARAM_AXES.replace(inlet_profile=0)
-    return _PARAM_AXES
+        axes = axes.replace(inlet_profile=0)
+    if p.bouzidi_q is not None:
+        axes = axes.replace(bouzidi_q=0)
+    return axes
 
 
 _vforce = jax.vmap(force_on_obstacle, in_axes=(0, 0))
@@ -86,8 +90,13 @@ def _chunk_lockstep(state: LBMState, p: CaseParams, alive, n_steps: int):
         return s_frozen, None
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
-    vf = _vforce_halfway if p.halfway_obstacle else _vforce
-    force = vf(state.f_post, p.mask)
+    if p.bouzidi_obstacle:
+        force = jax.vmap(force_on_obstacle_bouzidi, in_axes=(0, 0, 0))(
+            state.f_post, p.mask, p.bouzidi_q
+        )
+    else:
+        vf = _vforce_halfway if p.halfway_obstacle else _vforce
+        force = vf(state.f_post, p.mask)
     max_v = _vmax(state.u)
     stable = _vstable(force, max_v, state.step, p.warmup_steps)
     alive = alive & stable
@@ -143,7 +152,7 @@ def _chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret):
             new_i = jax.tree.map(
                 lambda n, o: jnp.where(alive[i], n, o), new_i, st_i
             )
-        force = obstacle_force(new_i.f_post, p_i.mask, p_i.halfway_obstacle)
+        force = obstacle_force(new_i.f_post, p_i)
         max_v = max_velocity(new_i.u)
         stables.append(
             is_stable_device(force, max_v, new_i.step, p_i.warmup_steps)

@@ -496,7 +496,7 @@ def run_chunk_sharded_pallas(
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )(state, p, *extra)
     monitors = {
-        "force": obstacle_force(state.f_post, p.mask, p.halfway_obstacle),
+        "force": obstacle_force(state.f_post, p),
         "max_v": max_velocity(state.u),
     }
     return state, monitors
@@ -505,6 +505,13 @@ def run_chunk_sharded_pallas(
 @functools.partial(jax.jit, static_argnames=("n_steps", "mesh", "ny", "nx"))
 def run_chunk_sharded(state: LBMState, p: CaseParams, n_steps: int, mesh, ny: int, nx: int):
     """Advance n_steps on the mesh; monitors computed globally under GSPMD."""
+    if p.bouzidi_obstacle:
+        # the q < 1/2 two-point interpolation reads a neighbor across the
+        # link, which can cross a shard seam; not wired into the halo
+        # exchange -- fail loudly instead of computing a silently-wrong wall
+        raise NotImplementedError(
+            "bounce_back_bouzidi is single-device (jnp path) only"
+        )
     local_step = make_local_step(mesh, ny, nx)
     nbb_g = neighbor_solid_bits(p.mask) if p.halfway_obstacle else None
 
@@ -525,7 +532,7 @@ def run_chunk_sharded(state: LBMState, p: CaseParams, n_steps: int, mesh, ny: in
         out_specs=s_specs,
     )(state, p, *extra)
     monitors = {
-        "force": obstacle_force(state.f_post, p.mask, p.halfway_obstacle),
+        "force": obstacle_force(state.f_post, p),
         "max_v": max_velocity(state.u),
     }
     return state, monitors

@@ -74,6 +74,8 @@ def params_specs(p=None):
     if p is not None:
         if p.inlet_profile is not None:
             specs["inlet_profile"] = P(AXIS_Y)  # [H] row profile
+        if p.bouzidi_q is not None:
+            specs["bouzidi_q"] = P(None, AXIS_Y, AXIS_X)
         return p.replace(**specs)
     return CaseParams(**specs)
 

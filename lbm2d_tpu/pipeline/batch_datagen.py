@@ -476,6 +476,8 @@ def run_batched(
 def main() -> None:
     ap = argparse.ArgumentParser(description="vmap lockstep batch datagen.")
     ap.add_argument("--project_name", required=True)
+    ap.add_argument("--root", default=".",
+                    help="directory holding SimCases/ and outputs/")
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument(
         "--device_resize", action="store_true",
@@ -503,7 +505,8 @@ def main() -> None:
     )
     args = ap.parse_args()
     run_batched(
-        args.project_name, args.max_batch, device_resize=args.device_resize,
+        args.project_name, args.max_batch, root=args.root,
+        device_resize=args.device_resize,
         runner=args.runner, n_devices=args.n_devices,
         f16_transfer=args.f16_transfer, video=not args.no_video,
     )

@@ -203,6 +203,8 @@ def run_batch(
 def main() -> None:
     ap = argparse.ArgumentParser(description="Multi-case LBM batch runner.")
     ap.add_argument("--project_name", type=str, required=True)
+    ap.add_argument("--root", type=str, default=".",
+                    help="directory holding SimCases/ and outputs/")
     ap.add_argument("--max_success", type=int, default=None)
     ap.add_argument(
         "--device_resize", action="store_true",
@@ -223,7 +225,7 @@ def main() -> None:
                     help="skip per-case mp4 (with --lockstep)")
     args = ap.parse_args()
     run_batch(
-        args.project_name, args.max_success,
+        args.project_name, args.max_success, root=args.root,
         device_resize=args.device_resize, lockstep=args.lockstep,
         max_batch=args.max_batch, f16_transfer=args.f16_transfer,
         video=not args.no_video,
