@@ -59,7 +59,8 @@ def cylinder_case(nx=800, ny=400, diameter=40, u_target=0.08, re=150.0):
     return cfg, mask
 
 
-def dfg_case(ny=164, u_max=0.1, re=100.0, obstacle="bounce_back"):
+def dfg_case(ny=164, u_max=0.1, re=100.0, obstacle="bounce_back",
+             inlet="equilibrium"):
     """The true DFG-2D cylinder benchmark (Schaefer-Turek 2D-2, Re = 100).
 
     Geometry: 2.2 m x 0.41 m channel, cylinder D = 0.1 m centered at
@@ -95,7 +96,10 @@ def dfg_case(ny=164, u_max=0.1, re=100.0, obstacle="bounce_back"):
             "warmup_steps": 8000,
         },
         "boundary_condition": {
-            "type": [3, 0, 1, 0],
+            # type 3 = pure-equilibrium profiled inlet; type 4 = NEBB
+            # (non-equilibrium extrapolation) profiled inlet, which delivers
+            # the prescribed parabola exactly (type 3 measures ~4% low)
+            "type": [4 if inlet == "nebb" else 3, 0, 1, 0],
             "value": [[u_max, 0.0]] + [[0.0, 0.0]] * 3,
             # "bounce_back" (full-way) or "bounce_back_halfway": the
             # half-way scheme removes the full-way one-step reflection lag
@@ -134,10 +138,11 @@ def run_validation(
     progress: bool = True,
     mode: str = "pressure",
     obstacle: str = "bounce_back",
+    inlet: str = "equilibrium",
 ) -> Dict:
     if mode == "dfg":
         cfg, mask, diameter = dfg_case(
-            ny=ny, u_max=u_target, re=re, obstacle=obstacle
+            ny=ny, u_max=u_target, re=re, obstacle=obstacle, inlet=inlet
         )
         nx = cfg["simulation"]["nx"]
     else:
@@ -211,6 +216,7 @@ def run_validation(
         "re_target": re,
         "mode": mode,
         "obstacle": obstacle if mode == "dfg" else "equilibrium",
+        "inlet": inlet if mode == "dfg" else "pressure",
         "ny": ny,
         "diameter_px": diameter,
         "steps": int(ts[-1]) if len(ts) else 0,
@@ -220,10 +226,23 @@ def run_validation(
         "cl_amplitude": float((np.max(cl_arr) - np.min(cl_arr)) / 2),
         "shedding_detected": bool(np.std(fy[half:]) > 1e-6),
     }
+    if mode == "dfg" and u_in > 0:
+        # diagnostics normalized by the MEASURED mean inlet velocity: with
+        # the equilibrium inlet the realized U runs ~4% below nominal, which
+        # biases the nominal-U Cd by ~8% and St by ~4%; these rows separate
+        # inlet-delivery error from wall-scheme error
+        cd_m, _, _ = compute_coefficients(
+            fx[half:], fy[half:], u_max=1.5 * u_in, d=diameter
+        )
+        result["cd_mean_measured_u"] = float(np.mean(cd_m))
     if popt is not None:
         # popt omega is per recorded sample; samples are `chunk` steps apart
         omega_per_step = popt[1] / chunk
         result["strouhal_sine_fit"] = strouhal_number(omega_per_step, diameter, u_for_st)
+        if mode == "dfg" and u_in > 0:
+            result["strouhal_measured_u"] = strouhal_number(
+                omega_per_step, diameter, u_in
+            )
         result["lift_fit_amplitude"] = float(abs(popt[0]))
 
     # FFT-peak Strouhal over the last quarter (most stationary window); the
@@ -272,6 +291,12 @@ def main() -> None:
         "interpolated (sub-grid curved wall) bounce-back",
     )
     ap.add_argument(
+        "--inlet", choices=("equilibrium", "nebb"), default="equilibrium",
+        help="left-edge profiled inlet in dfg mode: pure-equilibrium "
+        "(type 3) or non-equilibrium-extrapolation NEBB (type 4, delivers "
+        "the prescribed parabola exactly)",
+    )
+    ap.add_argument(
         "--out", default=None,
         help="append the result to this JSON file (machine-readable "
         "benchmark artifact, e.g. docs/benchmarks/dfg2d_results.json)",
@@ -284,7 +309,7 @@ def main() -> None:
         steps=args.steps, nx=args.nx, ny=args.ny,
         diameter=args.diameter, mode=args.mode, chunk=args.chunk,
         u_target=args.u if args.u is not None else u_default,
-        obstacle=args.obstacle,
+        obstacle=args.obstacle, inlet=args.inlet,
     )
     print(json.dumps(res, indent=2))
     if args.out:

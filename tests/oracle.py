@@ -55,7 +55,7 @@ class OracleLBM:
         obstacle = cfg["boundary_condition"].get("obstacle", "equilibrium")
         self.bounce = obstacle == "bounce_back"
         self.halfway = obstacle == "bounce_back_halfway"
-        if self.bc_type[0] == 3:
+        if self.bc_type[0] in (3, 4):
             u_max = float(self.bc_value[0][0])
             h = float(self.ny - 1)
             self.prof = np.array(
@@ -174,6 +174,19 @@ class OracleLBM:
             self.rho[ibc, jbc] = 1.0
             self.vel[ibc, jbc] = (self.prof[jbc] * ramp, 0.0)
             self.f_old[ibc, jbc] = self._feq(ibc, jbc)
+        elif t == 4 and ibc == 0:
+            # profiled-velocity NEBB inlet: u = ramped profile, rho from the
+            # neighbor, f = f_eq(rho_nb, u_target) + (f_nb - f_eq(rho_nb,
+            # u_nb)) -- the non-equilibrium extrapolation the reference uses
+            # for its non-west velocity inlets (LBM2D_MRT_LES.py:487-492),
+            # with a per-row profile. Carries the neighbor's non-equilibrium
+            # part, so the prescribed velocity is actually delivered (the
+            # pure-equilibrium type 3 under-imposes it by O(grad u / omega)).
+            self.vel[ibc, jbc] = (self.prof[jbc] * ramp, 0.0)
+            self.rho[ibc, jbc] = self.rho[inb, jnb]
+            self.f_old[ibc, jbc] = (
+                self._feq(ibc, jbc) - self._feq(inb, jnb) + self.f_old[inb, jnb]
+            )
         elif t == 0:
             if ibc == 0:
                 rho_c = 1.0 + (self.rho_in - 1.0) * ramp
