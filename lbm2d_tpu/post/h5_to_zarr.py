@@ -5,11 +5,11 @@ Pass 1 streams per-channel global mean/std over all Success cases; pass 2
 z-score-normalizes to float16 Zarr arrays (chunks (100, C, H, 64)) and
 precomputes the three sampling-weight maps {vor, sdf, mix}; global_stats.json
 records the normalization. Uses the self-contained zarr-v2 writer
-(post/zarrlite.py) with the standard numcodecs ``zstd`` codec (raw zstd
-frames; zlib fallback if the zstandard module is absent) -- the environment
-provides no zarr/numcodecs/blosc, so the reference's Blosc-zstd compressor
-is replaced by raw-zstd (same on-disk zarr-v2 format, standard codec id,
-readable by any zarr 2.x + numcodecs stack).
+(post/zarrlite.py) whose default codec is the reference's exact compressor
+contract -- numcodecs ``blosc`` with cname zstd, clevel 5, BITSHUFFLE
+(reference h5_to_zarr_pipeline.py:13-19) -- emitted as real c-blosc1 chunk
+containers by post/bloscmini.py, since the environment provides no
+zarr/numcodecs/blosc packages (zlib fallback if zstandard is also absent).
 
 Usage:
   python -m lbm2d_tpu.post.h5_to_zarr --project_name Urban-1

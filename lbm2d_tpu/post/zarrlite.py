@@ -3,10 +3,11 @@
 The environment has no ``zarr``/``numcodecs`` packages, so this module
 implements the (simple, stable) Zarr v2 on-disk format directly: per-array
 ``.zarray`` JSON metadata, ``.zgroup``/``.zattrs`` files, and C-order chunk
-files named ``i.j.k``. Compression uses the standard numcodecs ``zstd`` codec (raw
-zstd frames, id "zstd" -- decoded by any zarr 2.x stack with numcodecs and
-~10x faster to decompress than zlib) when the ``zstandard`` module is
-present, else the ``zlib`` codec; ``None`` writes raw chunks.
+files named ``i.j.k``. The default compressor is the numcodecs ``blosc``
+codec in the reference's exact configuration (cname zstd, clevel 5,
+bitshuffle -- c-blosc1 chunk container emitted by ``bloscmini``) when the
+``zstandard`` module is present; the plain numcodecs ``zstd`` (raw frames)
+and ``zlib`` codecs remain available, and ``None`` writes raw chunks.
 
 Scope: what the dataset post-process needs -- groups, whole-array writes of
 in-memory numpy data with arbitrary chunking, attribute dicts, and reads for
@@ -30,12 +31,28 @@ try:  # numcodecs 'zstd' codec = raw zstd frames; zstandard provides them
 except ImportError:  # pragma: no cover
     _zstd = None
 
-DEFAULT_CODEC = "zstd" if _zstd is not None else "zlib"
+from . import bloscmini
+
+# the reference dataset contract is Blosc(zstd-5, bitshuffle)
+# (src/post_process/h5_to_zarr_pipeline.py:13-19); bloscmini emits that
+# c-blosc1 container directly, so "blosc" is the default whenever zstd
+# bindings exist
+DEFAULT_CODEC = "blosc" if _zstd is not None else "zlib"
 
 
-def _compress(raw: bytes, comp_meta: Optional[Dict[str, Any]]) -> bytes:
+def _compress(
+    raw: bytes, comp_meta: Optional[Dict[str, Any]], itemsize: int = 1
+) -> bytes:
     if comp_meta is None:
         return raw
+    if comp_meta["id"] == "blosc":
+        return bloscmini.compress(
+            raw,
+            typesize=itemsize,
+            clevel=comp_meta["clevel"],
+            shuffle=comp_meta["shuffle"],
+            blocksize=comp_meta["blocksize"],
+        )
     if comp_meta["id"] == "zstd":
         return _zstd.ZstdCompressor(level=comp_meta["level"]).compress(raw)
     return zlib.compress(raw, comp_meta["level"])
@@ -44,6 +61,8 @@ def _compress(raw: bytes, comp_meta: Optional[Dict[str, Any]]) -> bytes:
 def _decompress(raw: bytes, comp_meta: Optional[Dict[str, Any]]) -> bytes:
     if comp_meta is None:
         return raw
+    if comp_meta["id"] == "blosc":
+        return bloscmini.decompress(raw)
     if comp_meta["id"] == "zstd":
         if _zstd is None:
             raise RuntimeError("zstd-compressed store needs the zstandard module")
@@ -124,7 +143,13 @@ class ZarrGroup:
         adir = os.path.join(self.path, name)
         os.makedirs(adir, exist_ok=True)
 
-        if compressor in ("zlib", "zstd"):
+        if compressor == "blosc":
+            # exact numcodecs Blosc meta the reference pipeline writes
+            comp_meta = {
+                "id": "blosc", "cname": "zstd", "clevel": level,
+                "shuffle": bloscmini.BITSHUFFLE, "blocksize": 0,
+            }
+        elif compressor in ("zlib", "zstd"):
             comp_meta = {"id": compressor, "level": level}
         elif compressor is None:
             comp_meta = None
@@ -156,7 +181,10 @@ class ZarrGroup:
                 full = np.zeros(chunks, data.dtype)
                 full[tuple(slice(0, e) for e in block.shape)] = block
                 block = full
-            raw = _compress(np.ascontiguousarray(block).tobytes(), comp_meta)
+            raw = _compress(
+                np.ascontiguousarray(block).tobytes(), comp_meta,
+                itemsize=data.dtype.itemsize,
+            )
             with open(os.path.join(adir, ".".join(map(str, idx))), "wb") as fh:
                 fh.write(raw)
         return adir

@@ -26,7 +26,7 @@ def test_zarrlite_roundtrip(tmp_path):
     meta = json.load(open(os.path.join(path, ".zarray")))
     assert meta["zarr_format"] == 2
     assert meta["dtype"] == "<f2"
-    assert meta["compressor"]["id"] in ("zstd", "zlib")
+    assert meta["compressor"]["id"] in ("blosc", "zstd", "zlib")
 
 
 def make_fake_case(raw_dir, name, t=12, h=16, w=24):
@@ -129,8 +129,67 @@ def test_zarr_interop_independent_spec_reader(tmp_path):
     # spot-check spec details the downstream loader relies on
     meta = json.load(open(os.path.join(zdir, "turbulence", ".zarray")))
     assert meta["dtype"] == "<f2" and meta["order"] == "C"
-    # numcodecs codec ids the downstream zarr 2.x stack decodes natively
-    assert meta["compressor"]["id"] in ("zstd", "zlib")
+    # the reference contract compressor: numcodecs Blosc(zstd, 5, BITSHUFFLE)
+    # (reference h5_to_zarr_pipeline.py:13-19); zstd/zlib are the fallbacks
+    comp = meta["compressor"]
+    assert comp["id"] in ("blosc", "zstd", "zlib")
+    if comp["id"] == "blosc":
+        assert comp["cname"] == "zstd" and comp["clevel"] == 5
+        assert comp["shuffle"] == 2  # numcodecs Blosc.BITSHUFFLE
+
+
+def test_bloscmini_roundtrip_matrix():
+    """c-blosc1 chunk codec: roundtrip across shuffle modes, dtypes, sizes.
+
+    Covers multi-block chunks (size > blocksize), non-multiple-of-8 element
+    tails (bitshuffle raw-tail path), incompressible data (stored-block
+    escape), the empty buffer, and the whole-chunk memcpy escape."""
+    import pytest
+    from lbm2d_tpu.post import bloscmini
+
+    if not bloscmini.available():
+        pytest.skip("zstandard module absent")
+    rng = np.random.default_rng(3)
+    cases = [
+        np.zeros(100_000, np.float32),                       # compressible
+        rng.standard_normal(70_001).astype(np.float64),      # odd count tail
+        rng.integers(0, 2**16, 333, np.uint16).astype("<u2"),
+        (rng.random(65536) * 255).astype(np.uint8),          # incompressible
+        np.arange(13, dtype=np.int64),                       # < 8 elements/block tail
+        np.empty(0, np.float32),                             # empty chunk
+    ]
+    for arr in cases:
+        raw = arr.tobytes()
+        t = arr.dtype.itemsize
+        for shuffle in (bloscmini.NOSHUFFLE, bloscmini.SHUFFLE, bloscmini.BITSHUFFLE):
+            for blocksize in (0, 4096):
+                chunk = bloscmini.compress(raw, t, clevel=5, shuffle=shuffle,
+                                           blocksize=blocksize)
+                assert bloscmini.decompress(chunk) == raw
+                # header sanity: nbytes field == payload length
+                import struct as _s
+                nbytes = _s.unpack_from("<i", chunk, 4)[0]
+                assert nbytes == len(raw)
+
+
+def test_bloscmini_vs_independent_spec_decoder():
+    """bloscmini's encoder must be decodable by the independently written
+    c-blosc1 decoder in tests/zarr_spec_reader.py (different bit-unshuffle
+    formulation) -- format-level interop evidence, same role as the zarr
+    spec-reader test."""
+    import pytest
+    from lbm2d_tpu.post import bloscmini
+    from tests.zarr_spec_reader import _blosc_decode_chunk
+
+    if not bloscmini.available():
+        pytest.skip("zstandard module absent")
+    rng = np.random.default_rng(4)
+    arr = rng.normal(size=(9, 64, 64)).astype("<f2")
+    raw = arr.tobytes()
+    for shuffle in (bloscmini.NOSHUFFLE, bloscmini.SHUFFLE, bloscmini.BITSHUFFLE):
+        chunk = bloscmini.compress(raw, 2, clevel=5, shuffle=shuffle,
+                                   blocksize=8192)
+        assert _blosc_decode_chunk(chunk) == raw
 
 
 def test_spec_reader_handles_missing_chunks_and_orders(tmp_path):
