@@ -140,17 +140,16 @@ def _unpack_aux(aux):
 def supports(p: CaseParams) -> bool:
     """True if the fused kernel implements this BC layout (all sides active:
     the in-kernel BCs rewrite the whole global ring each step).  The DFG
-    modes are covered too: bounce-back obstacles and the left-edge profiled
+    modes are covered too: bounce-back obstacles (full-way, half-way, and
+    Bouzidi interpolated via per-link q planes) and the left-edge profiled
     velocity inlet (type 3, parabolic profile recomputed in-kernel with the
     same f32 op order make_params uses, so the paths stay bitwise-equal)."""
     lt, tt, rt, bt = p.bc_type
     left_ok = lt in (BC_INLET, BC_FREE_SLIP) or (
         lt == BC_VEL_INLET and p.inlet_profile is not None
     )
-    if p.bouzidi_obstacle:
-        # Bouzidi interpolated bounce-back runs on the jnp path (the q-plane
-        # interpolation is not in the fused kernel); validation-scale grids
-        return False
+    if p.bouzidi_obstacle and p.bouzidi_q is None:
+        return False  # Bouzidi needs the precomputed q planes
     return (
         left_ok
         and rt in (BC_INLET, BC_OUTLET, BC_FREE_SLIP)
@@ -163,7 +162,7 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _pick_tiles(h: int, w: int):
+def _pick_tiles(h: int, w: int, extra: int = 0):
     """(BH_fast, BH_full, BW, PX): tile geometry under the 16MB VMEM budget.
 
     Narrow grids use one full-width column tile (BW = Wp, PX = 0; x-halo via
@@ -187,15 +186,18 @@ def _pick_tiles(h: int, w: int):
     # the run_chunk_pallas(tiles=...) override and are parity-tested.
     bw, px = wp128, 0
     bh = 256
-    # floats per tile: 9*(bh+2PY)*(bw+2PX) halo input + ~23*bh*bw rest
-    while bh > 16 and 9 * (bh + 2 * PY) * (bw + 2 * px) + 23 * bh * bw > budget:
+    # floats per tile: 9*(bh+2PY)*(bw+2PX) halo input + ~23*bh*bw rest;
+    # ``extra`` adds per-row planes (e.g. the 8 Bouzidi q inputs + temps)
+    while bh > 16 and (
+        9 * (bh + 2 * PY) * (bw + 2 * px) + (23 + extra) * bh * bw > budget
+    ):
         bh -= 16
     while bh > 16 and (h % bh == 1 or h % (bh // 2) == 1):
         bh -= 16
     return max(16, bh), max(8, bh // 2), bw, px
 
 
-def _pick_split_tiles(h: int, w: int, px: int = 0):
+def _pick_split_tiles(h: int, w: int, px: int = 0, extra: int = 0):
     """(BH, BW, PX) for split-BC fast steps: without the in-kernel BC
     branches the kernel holds ~19 live f32 planes per band row (measured on
     v5e; BH=128 fastest at 1024^2, BH=256 OOMs at ~19M), so bands can be
@@ -219,7 +221,7 @@ def _pick_split_tiles(h: int, w: int, px: int = 0):
     # lane-roll streaming (px == 0) holds ~18 planes/row (19 before the
     # packed aux plane); halo-slice streaming (px > 0) relayouts the shifted
     # column reads, ~32 (measured)
-    planes = 18 if px == 0 else 32
+    planes = (18 if px == 0 else 32) + extra
     if bw >= 4096 and px == 0:
         # wide grids: the scoped-VMEM limit is raised per-geometry
         # (_vmem_limit) so 64-row bands fit on a 128MB-VMEM core; 128-row
@@ -771,7 +773,8 @@ def _step_kernel(
     h_hi_ref,  # VMEM (9, 8, Wp) row 0 = high-side halo row, or None
     fp_hbm,  # HBM [9, Hp + 2*PY, Wp]
     aux_ref,  # VMEM (BH, Wp) -- packed damp+mask (pack_aux), auto-pipelined
-    nbb_ref,  # VMEM (BH, Wp) int32 neighbor-solid bits (half-way BB), or None
+    nbb_ref,  # VMEM (BH, Wp) int32 neighbor-solid bits (half-way/Bouzidi), or None
+    q_ref,  # VMEM (8, BH, Wp) Bouzidi per-link wall fractions, or None
     fp_new_hbm,  # HBM [9, Hp + 2*PY, Wp] (manual aligned DMA)
     rho_ref,  # VMEM (BH, Wp) or None (fast)
     u_ref,  # VMEM (2, BH, Wp) or None (fast)
@@ -898,7 +901,7 @@ def _step_kernel(
                     scratch_in[:, r, :] = ref_[:, 0, :]
 
     fs = _stream_band(scratch_in, BH, BW, PX)
-    if nbb_ref is not None:
+    if nbb_ref is not None and q_ref is None:
         # half-way bounce-back: pulls whose source cell is solid return this
         # cell's own opposite previous population (already in the window's
         # center rows); the precomputed bit plane is the same predicate the
@@ -913,6 +916,37 @@ def _step_kernel(
                     scratch_in[int(OPP[k]), PY : PY + BH, PX : PX + BW],
                     fs[k],
                 )
+            )
+        fs = jnp.stack(planes)
+    if q_ref is not None:
+        # Bouzidi interpolated bounce-back (solver.collide_stream_full jnp
+        # reference): the wall sits at fraction q along the link toward the
+        # solid pull source. Same op order as the jnp path -> bitwise-equal
+        # on interior cells; the f_opp(c + e_k) lane-roll wrap (PX == 0) only
+        # corrupts global ring columns, which the BCs rewrite. NOTE: loop
+        # variables deliberately avoid ``j`` -- that name is this kernel's
+        # column program id, read again by _apply_bc_band below.
+        bits = nbb_ref[:]
+        planes = [fs[0]]
+        for k in range(1, 9):
+            ekx, eky = int(E[k, 0]), int(E[k, 1])
+            ko = int(OPP[k])
+            nb_solid = ((bits >> k) & 1) != 0
+            q = q_ref[ko - 1]
+            f_o = scratch_in[ko, PY : PY + BH, PX : PX + BW]
+            f_c = scratch_in[k, PY : PY + BH, PX : PX + BW]
+            if PX:
+                f_o_up = scratch_in[
+                    ko, PY + eky : PY + eky + BH, PX + ekx : PX + ekx + BW
+                ]
+            else:
+                f_o_up = scratch_in[ko, PY + eky : PY + eky + BH, :]
+                if ekx:
+                    f_o_up = pltpu.roll(f_o_up, shift=(-ekx) % BW, axis=1)
+            lo = 2.0 * q * f_o + (1.0 - 2.0 * q) * f_o_up
+            hi = f_o / (2.0 * q) + (2.0 * q - 1.0) / (2.0 * q) * f_c
+            planes.append(
+                jnp.where(nb_solid, jnp.where(q < 0.5, lo, hi), fs[k])
             )
         fs = jnp.stack(planes)
     solid, damp = _unpack_aux(aux_ref[:])
@@ -1075,7 +1109,7 @@ def _step_kernel(
 def _pallas_step(
     fp, aux_p, scalars, offs, h_lo, h_hi, dims, use_les, bc_type,
     full, interpret, apply_bc=True, ec_buf=None, er_buf=None, bounce=False,
-    nbb_p=None,
+    nbb_p=None, q_p=None,
 ):
     """One fused lattice update. dims = (Hg, Wg, HL, WL, Hp, Wp, BH, BW, PX);
     single-chip passes HL == Hg, WL == Wg and offs None; the sharded path
@@ -1088,7 +1122,8 @@ def _pallas_step(
     grid = (Hp // BH, Wp // BW)
     sharded = offs is not None
     halo = h_lo is not None
-    halfway = nbb_p is not None  # half-way bounce-back bit plane present
+    halfway = nbb_p is not None  # half-way/Bouzidi neighbor-solid bit plane
+    bouzidi = q_p is not None  # Bouzidi wall-fraction planes present
     export = not apply_bc  # split-BC edge-macro export
 
     out_shape = [jax.ShapeDtypeStruct(fp.shape, dtype)]
@@ -1144,6 +1179,7 @@ def _pallas_step(
         hhi = next(it) if halo else None
         fh, aux = next(it), next(it)
         nbb = next(it) if halfway else None
+        qr = next(it) if bouzidi else None
         if aliased:  # donated ec/er input refs; use the output refs instead
             next(it), next(it)
         fn = next(it)
@@ -1158,8 +1194,8 @@ def _pallas_step(
         sin, sout = next(it), next(it)
         semec = next(it) if export else None
         _step_kernel(
-            scal, offs_r, hlo, hhi, fh, aux, nbb, fn, rho, u, fpost, ec, er,
-            s_in, s_out, s_ec, s_er, sin, sout, semec, **dims_kw,
+            scal, offs_r, hlo, hhi, fh, aux, nbb, qr, fn, rho, u, fpost,
+            ec, er, s_in, s_out, s_ec, s_er, sin, sout, semec, **dims_kw,
         )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -1184,6 +1220,13 @@ def _pallas_step(
             pl.BlockSpec((BH, BW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         )
         args.append(nbb_p)
+    if bouzidi:
+        in_specs.append(
+            pl.BlockSpec(
+                (8, BH, BW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(q_p)
 
     # XLA allocates the small unblocked ec/er OUTPUTS on the scoped-VMEM
     # stack (layout S(1)) despite the HBM out_spec -- at Hp = 4096 the ec
@@ -1643,7 +1686,8 @@ def run_chunk_pallas(
         raise ValueError(f"bc_type {p.bc_type} unsupported by the fused kernel")
     _, H, W_ = state.f.shape
     dtype = state.f.dtype
-    bh_fast, bh_full, BW, PX = tiles or _pick_tiles(H, W_)
+    q_extra = 16 if p.bouzidi_obstacle else 0  # 8 q planes + shifted reads
+    bh_fast, bh_full, BW, PX = tiles or _pick_tiles(H, W_, extra=q_extra)
     eligible = W_ % LANE == 0 and H % 8 == 0 and H >= 16
     if split_bc is None:
         split_bc = eligible and tiles is None
@@ -1658,7 +1702,7 @@ def run_chunk_pallas(
     BW_s, PX_s = BW, PX
     fuse_S = 0
     if split_bc and tiles is None:
-        bh_fast, BW_s, PX_s = _pick_split_tiles(H, W_)
+        bh_fast, BW_s, PX_s = _pick_split_tiles(H, W_, extra=q_extra)
         # temporal blocking (beyond-VMEM tier): S fused steps per HBM pass.
         # Eligibility mirrors the pipelined tier -- full-width single column
         # tile and a padded f too large to stay VMEM-resident.
@@ -1668,7 +1712,7 @@ def run_chunk_pallas(
             # 3.8k for the pipelined split-BC path -- the beyond-VMEM tier
             # turned out compute-bound at wide lanes, not HBM-bound, so
             # cutting f traffic 4x does not pay at this geometry yet.
-            fu = _FUSE_STEPS
+            fu = None if p.bouzidi_obstacle else _FUSE_STEPS
             if fu and fu > 1:
                 fuse_S = min(int(fu), PY)
                 bh_f = _FUSE_BH or _pick_fused_tiles(H, W_)[0]
@@ -1696,9 +1740,18 @@ def run_chunk_pallas(
     )
     aux = pack_aux(p.damping, p.mask)
     aux_s = jnp.pad(aux, ((0, Hp - H), (0, Wp_s - W_)))
-    nbb = neighbor_solid_bits(p.mask) if p.halfway_obstacle else None
+    nbb = (
+        neighbor_solid_bits(p.mask)
+        if (p.halfway_obstacle or p.bouzidi_obstacle)
+        else None
+    )
     nbb_s = (
         None if nbb is None else jnp.pad(nbb, ((0, Hp - H), (0, Wp_s - W_)))
+    )
+    qp = p.bouzidi_q if p.bouzidi_obstacle else None
+    qp_s = (
+        None if qp is None
+        else jnp.pad(qp, ((0, 0), (0, Hp - H), (0, Wp_s - W_)))
     )
 
     # ec/er export buffers ride the scan carry as donated HBM inputs (see
@@ -1716,6 +1769,7 @@ def run_chunk_pallas(
                 fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, False,
                 ec_buf=ec, er_buf=er, bounce=p.bounce_obstacle, nbb_p=nbb_s,
+                q_p=qp_s,
             )
             fp_new = _edge_bc_step(
                 fp_new, aux_s, ec, er, scal, edims, p.bc_type, interpret,
@@ -1725,7 +1779,7 @@ def run_chunk_pallas(
             (fp_new,) = _pallas_step(
                 fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, True,
-                bounce=p.bounce_obstacle, nbb_p=nbb_s,
+                bounce=p.bounce_obstacle, nbb_p=nbb_s, q_p=qp_s,
             )
         return (fp_new, ec, er, step), None
 
@@ -1777,13 +1831,18 @@ def run_chunk_pallas(
             None if nbb is None
             else jnp.pad(nbb, ((0, Hp - H), (0, Wp - W_)))
         )
+        qp_p = (
+            None if qp is None
+            else jnp.pad(qp, ((0, 0), (0, Hp - H), (0, Wp - W_)))
+        )
     else:
         aux_p = aux_s
         nbb_p = nbb_s
+        qp_p = qp_s
     fp, rho_p, u_p, fpost_p = _pallas_step(
         fp, aux_p, scal, None, None, None, dims_full,
         p.use_les, p.bc_type, True, interpret, bounce=p.bounce_obstacle,
-        nbb_p=nbb_p,
+        nbb_p=nbb_p, q_p=qp_p,
     )
 
     f = fp[:, PY : PY + H, PX : PX + W_]

@@ -305,6 +305,10 @@ def run_chunk_sharded_pallas(
 
     if not supports(p):
         raise ValueError(f"bc_type {p.bc_type} unsupported by the fused kernel")
+    if p.bouzidi_obstacle:
+        # the sharded kernel composition does not thread the q planes (and a
+        # curved obstacle crossing a shard seam would need q-halo exchange)
+        raise ValueError("Bouzidi obstacles are single-chip only")
     rys, rxs = mesh.shape[AXIS_Y], mesh.shape[AXIS_X]
     if ny % rys or nx % rxs:
         raise ValueError(f"grid {ny}x{nx} not divisible by mesh {rys}x{rxs}")

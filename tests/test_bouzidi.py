@@ -201,8 +201,61 @@ def test_bouzidi_force_matches_scalar_replica():
     np.testing.assert_allclose(got, [fx, fy], rtol=1e-12)
 
 
+def test_bouzidi_in_kernel_matches_jnp():
+    """Bouzidi in the fused Pallas kernel (in-kernel-BC path): bitwise-level
+    parity vs the jnp path. nx = 40 is not a lane multiple, so split-BC is
+    ineligible and every step runs the in-kernel-BC kernel with the q-plane
+    interpolation inline."""
+    from lbm2d_tpu.core.solver import run_chunk
+    from lbm2d_tpu.ops.pallas_step import run_chunk_pallas, supports
+
+    ny, nx = 24, 40
+    mask = circle_mask(ny, nx)
+    p = make_params(cyl_config(), mask)
+    assert supports(p) and p.bouzidi_obstacle
+
+    ref, ref_mon = run_chunk(init_state(ny, nx), p, 12)
+    out, mon = run_chunk_pallas(init_state(ny, nx), p, n_steps=12, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.f), np.asarray(ref.f), rtol=0, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(ref.u), rtol=0, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
+    )
+
+
+def test_bouzidi_split_bc_kernel_matches_jnp():
+    """Bouzidi through the split-BC fast path (128-lane grid -> auto split):
+    the q planes ride the band BlockSpecs of the no-BC kernel and the edge
+    kernel rewrites the ring afterwards."""
+    from lbm2d_tpu.core.solver import run_chunk
+    from lbm2d_tpu.ops.pallas_step import run_chunk_pallas, supports
+
+    ny, nx = 48, 128
+    geom = {"shape": "cylinder", "cx": 33.3, "cy": 23.6, "r": 7.7}
+    mask = circle_mask(ny, nx, geom)
+    cfg = cyl_config(nx=nx, ny=ny)
+    cfg["boundary_condition"]["obstacle_geometry"] = dict(geom)
+    p = make_params(cfg, mask)
+    assert supports(p)
+
+    ref, ref_mon = run_chunk(init_state(ny, nx), p, 9)
+    out, mon = run_chunk_pallas(
+        init_state(ny, nx), p, n_steps=9, interpret=True, split_bc=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.f), np.asarray(ref.f), rtol=0, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
+    )
+
+
 def test_bouzidi_engine_smoke():
-    """End-to-end through LBMEngine: jnp fallback path, stable, finite drag."""
+    """End-to-end through LBMEngine (jnp runner on CPU), stable, finite drag."""
     from lbm2d_tpu.analysis.dfg_validation import dfg_case
     from lbm2d_tpu.core.engine import LBMEngine
     from lbm2d_tpu.ops.pallas_step import supports
@@ -211,7 +264,7 @@ def test_bouzidi_engine_smoke():
                             obstacle="bounce_back_bouzidi")
     cfg["simulation"]["warmup_steps"] = 100
     eng = LBMEngine(cfg, mask)
-    assert not supports(eng.params)  # bouzidi runs on the jnp path
+    assert supports(eng.params)  # bouzidi runs in the fused kernel on TPU
     eng.run_step(200)
     force = np.asarray(eng.get_force())
     assert np.isfinite(force).all()
