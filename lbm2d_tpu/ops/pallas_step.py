@@ -49,6 +49,7 @@ from ..core.solver import (
     BC_INLET,
     BC_OUTLET,
     BC_VEL_INLET,
+    BC_VEL_INLET_NEBB,
     CaseParams,
     LBMState,
     bc_horizontal_values,
@@ -146,7 +147,8 @@ def supports(p: CaseParams) -> bool:
     same f32 op order make_params uses, so the paths stay bitwise-equal)."""
     lt, tt, rt, bt = p.bc_type
     left_ok = lt in (BC_INLET, BC_FREE_SLIP) or (
-        lt == BC_VEL_INLET and p.inlet_profile is not None
+        lt in (BC_VEL_INLET, BC_VEL_INLET_NEBB)
+        and p.inlet_profile is not None
     )
     if p.bouzidi_obstacle and p.bouzidi_q is None:
         return False  # Bouzidi needs the precomputed q planes
@@ -340,12 +342,12 @@ def _apply_bc_band(
     # jnp.where merges, NOT arithmetic blends: unselected lanes may hold NaN
     # from uninitialized pad halos, and 0 * NaN = NaN.
     # left edge (global x = 0): lives in column tile j == 0, local col 0
-    if bc_type[0] in (BC_INLET, BC_FREE_SLIP, BC_VEL_INLET):
+    if bc_type[0] in (BC_INLET, BC_FREE_SLIP, BC_VEL_INLET, BC_VEL_INLET_NEBB):
 
         def _left(f_new=f_new, rho=rho, ux=ux, uy=uy):
             nb = roll_x(-1)
             prof = None
-            if bc_type[0] == BC_VEL_INLET:
+            if bc_type[0] in (BC_VEL_INLET, BC_VEL_INLET_NEBB):
                 # parabolic profile from global rows; SAME f32 op order as
                 # make_params/parabolic_profile -> bitwise equality
                 dtype = f_new.dtype
@@ -481,12 +483,12 @@ def _fused_apply_bc(
             jnp.where(m, uy_b[:, sl], uy),
         )
 
-    if bc_type[0] in (BC_INLET, BC_FREE_SLIP, BC_VEL_INLET):
+    if bc_type[0] in (BC_INLET, BC_FREE_SLIP, BC_VEL_INLET, BC_VEL_INLET_NEBB):
         fst = f_new[:, :, :128]
         rst, uxs, uys = rho[:, :128], ux[:, :128], uy[:, :128]
         nb = roll_x(-1)
         prof = None
-        if bc_type[0] == BC_VEL_INLET:
+        if bc_type[0] in (BC_VEL_INLET, BC_VEL_INLET_NEBB):
             # same f32 op order as make_params/parabolic_profile
             dtype = f_new.dtype
             umax = scal_ref[s, _S_BCV + 0]
@@ -1422,7 +1424,7 @@ def _edge_bc_kernel(
 
         if left:
             prof = None
-            if bc_type[0] == BC_VEL_INLET:
+            if bc_type[0] in (BC_VEL_INLET, BC_VEL_INLET_NEBB):
                 # parabolic profile from global rows; same f32 op order as
                 # make_params/parabolic_profile -> bitwise equality
                 dtype = f.dtype
@@ -1539,7 +1541,7 @@ def _edge_bc_kernel(
         store.start()
         store.wait()
 
-    if bc_type[0] in (BC_INLET, BC_FREE_SLIP, BC_VEL_INLET):
+    if bc_type[0] in (BC_INLET, BC_FREE_SLIP, BC_VEL_INLET, BC_VEL_INLET_NEBB):
         for c in range(nch):
 
             @pl.when(i == c)

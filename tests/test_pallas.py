@@ -267,3 +267,41 @@ def test_dfg_modes_in_kernel_match_jnp():
     np.testing.assert_allclose(
         np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
     )
+
+
+def test_nebb_inlet_in_kernel_matches_jnp():
+    """bc type 4 (NEBB profiled velocity inlet -- the DFG configuration that
+    lands the literature-exact coefficients) through the fused kernel: both
+    the in-kernel-BC path (96-lane grid) and the split-BC path (128-lane
+    grid, forced) must match the jnp reference."""
+    from lbm2d_tpu.core.solver import BC_VEL_INLET_NEBB
+    from lbm2d_tpu.ops.pallas_step import supports
+
+    for nx, ny, split in ((96, 48, None), (128, 48, True)):
+        cfg = cfg_grid(nx, ny)
+        cfg["boundary_condition"] = {
+            "type": [4, 0, 1, 0],
+            "value": [[0.08, 0.0]] + [[0.0, 0.0]] * 3,
+            "obstacle": "bounce_back",
+        }
+        cfg["simulation"]["smagorinsky_constant"] = 0.0
+        mask = np.zeros((ny, nx), np.float32)
+        yy, xx = np.mgrid[0:ny, 0:nx]
+        mask[(yy - ny // 2) ** 2 + (xx - 24) ** 2 < 36] = 1.0
+        p = make_params(cfg, mask)
+        assert p.bc_type[0] == BC_VEL_INLET_NEBB and supports(p)
+
+        ref, ref_mon = run_chunk(init_state(ny, nx), p, 12)
+        out, mon = run_chunk_pallas(
+            init_state(ny, nx), p, n_steps=12, interpret=True, split_bc=split
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.f), np.asarray(ref.f), rtol=0, atol=1e-7,
+            err_msg=f"split={split}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.u), np.asarray(ref.u), rtol=0, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(mon["force"]), np.asarray(ref_mon["force"]), atol=1e-5
+        )
