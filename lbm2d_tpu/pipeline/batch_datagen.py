@@ -251,20 +251,42 @@ def run_lockstep_group(
             )
         os.replace(tmp, ckpt_path)
 
-    # Deferred-fetch pipeline: a save's device->host moment transfer is
-    # issued AFTER the next chunk has been dispatched, so it overlaps the
-    # chunk's device compute instead of serializing with it. On the
-    # remoted-TPU tunnel (measured 2-8 MB/s D2H) the transfer dominates the
-    # save cadence; overlap hides the compute entirely and the loop runs at
-    # max(compute, transfer) rather than their sum.
+    # Fetch-at-idle pipeline. The tunneled runtime's D2H bandwidth COLLAPSES
+    # while the device is executing (~3.6 MB/s measured mid-run vs 65-100
+    # MB/s on an idle device), so the classic "overlap the transfer with the
+    # next chunk's compute" trick is exactly wrong on this link: a deferred
+    # 40 MB save+video fetch took ~11 s under load. Instead, device->host
+    # transfers happen in the idle window right after a chunk's monitors
+    # sync (fetch_pending), and only the HOST-side work -- video encode,
+    # HDF5 queueing -- rides under the next chunk's compute (write_fetched).
     pending = None  # (device moments array, pre_resized flag)
     pending_video = None  # device uint8 frames [B, gui_h, gui_w, 3]
 
-    def flush_pending():
+    def fetch_pending():
+        """np.asarray the queued device arrays; call while the device is
+        idle (right after sync_monitors). Returns host data for
+        write_fetched."""
         nonlocal pending, pending_video
+        out = {}
         if pending_video is not None:
-            frames = np.asarray(pending_video)
+            out["frames"] = np.asarray(pending_video)
             pending_video = None
+        if pending is not None:
+            dev, pre = pending
+            pending = None
+            moments = np.asarray(dev)
+            if moments.dtype != np.float32:
+                moments = moments.astype(np.float32)
+            out["moments"] = (moments, pre)
+        return out
+
+    def write_fetched(out):
+        """Host-side writes of already-fetched data (no device traffic);
+        runs under the next chunk's device compute."""
+        if not out:
+            return
+        frames = out.get("frames")
+        if frames is not None:
             for b in range(n_cases):
                 if fail_reason[b] is None and recorders[b] is not None:
                     frame = frames[b]
@@ -273,23 +295,37 @@ def run_lockstep_group(
 
                         frame = draw_zone_overlay(frame.copy(), zones)
                     recorders[b].write_frame_u8(frame)
-        if pending is None:
-            return
-        dev, pre = pending
-        pending = None
-        moments = np.asarray(dev)
-        if moments.dtype != np.float32:
-            moments = moments.astype(np.float32)
-        for b in range(n_cases):
-            if fail_reason[b] is None and writers[b] is not None:
-                writers[b].append(moments[b], pre_resized=pre)
+        mom = out.get("moments")
+        if mom is not None:
+            moments, pre = mom
+            for b in range(n_cases):
+                if fail_reason[b] is None and writers[b] is not None:
+                    writers[b].append(moments[b], pre_resized=pre)
+
+    def flush_pending():
+        write_fetched(fetch_pending())
+
+    # opt-in per-phase wall breakdown (reference outputs.enable_profiling
+    # parity for the lockstep loop); printed with each progress line
+    profiling = bool(cfg0["outputs"].get("enable_profiling"))
+    prof = {"dispatch": 0.0, "write": 0.0, "monitor": 0.0, "queue": 0.0,
+            "fetch": 0.0}
+    fetched = {}
 
     t0 = time.perf_counter()
     while steps < max_steps:
+        tp0 = time.perf_counter()
         mon_dev = engine.run_step(chunk, sync=False)
+        tp1 = time.perf_counter()
         steps += chunk
-        flush_pending()  # big transfer rides under the chunk's compute
+        write_fetched(fetched)  # host-only IO rides under the chunk's compute
+        fetched = {}
+        tp2 = time.perf_counter()
         mon = engine.sync_monitors(mon_dev)
+        tp3 = time.perf_counter()
+        prof["dispatch"] += tp1 - tp0
+        prof["write"] += tp2 - tp1
+        prof["monitor"] += tp3 - tp2
         alive = engine.alive_mask
         for b in range(n_cases):
             if fail_reason[b] is None and not alive[b]:
@@ -327,9 +363,26 @@ def run_lockstep_group(
             and steps % ckpt_interval < chunk
         ):
             save_group_ckpt()
+        tp4 = time.perf_counter()
+        prof["queue"] += tp4 - tp3
+        # device is idle now (chunk synced; renderer/resizer are sub-ms
+        # epilogues) -- transfers run at the idle-link rate here
+        fetched = fetch_pending()
+        prof["fetch"] += time.perf_counter() - tp4
         if progress and steps % (chunk * 50) == 0:
             done = steps / max_steps
-            print(f"  [lockstep x{n_cases}] {steps}/{max_steps} ({done:.0%})")
+            line = f"  [lockstep x{n_cases}] {steps}/{max_steps} ({done:.0%})"
+            if profiling:
+                line += (
+                    f" | per-chunk ms: dispatch={prof['dispatch']/50*1e3:.0f}"
+                    f" write={prof['write']/50*1e3:.0f}"
+                    f" monitor={prof['monitor']/50*1e3:.0f}"
+                    f" queue={prof['queue']/50*1e3:.0f}"
+                    f" fetch={prof['fetch']/50*1e3:.0f}"
+                )
+                prof = {k: 0.0 for k in prof}
+            print(line, flush=True)
+    write_fetched(fetched)  # last iteration's fetched-but-unwritten frame
     flush_pending()
     wall = time.perf_counter() - t0
     if ckpt_path and os.path.exists(ckpt_path):

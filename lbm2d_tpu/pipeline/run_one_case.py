@@ -45,6 +45,12 @@ def init_simulation_env(
     engine = LBMEngine(config, mask_yx=mask.astype(np.float32))
     engine.init()
 
+    gui = None
+    if gui_cfg.get("enable"):
+        from ..viz.gui import GuiWindow
+
+        gui = GuiWindow("LBM TPU", res=(gui_w, gui_h))
+
     recorder = None
     if vid_cfg["enable"] and video_output_path:
         recorder = VideoRecorder(
@@ -62,7 +68,7 @@ def init_simulation_env(
             mask_yx=mask.astype(np.float32),
         )
 
-    return engine, composer, recorder, writer
+    return engine, composer, gui, recorder, writer
 
 
 def main(
@@ -74,13 +80,13 @@ def main(
     device_resize: bool = False,
 ) -> Dict[str, Any]:
     metadata: Dict[str, Any] = {"status": "Failed", "reason": "Unknown error"}
-    engine = composer = recorder = writer = None
+    engine = composer = gui = recorder = writer = None
     try:
         if not os.path.exists(config_path):
             raise FileNotFoundError(f"Config file not found: {config_path}")
         config = load_config(config_path)
 
-        engine, composer, recorder, writer = init_simulation_env(
+        engine, composer, gui, recorder, writer = init_simulation_env(
             config, mask_path, h5_output_path, video_output_path
         )
 
@@ -103,6 +109,7 @@ def main(
         metadata.update(
             run_simulation_loop(
                 config, engine, composer, recorder, writer, max_steps,
+                gui=gui,
                 checkpoint_path=ckpt_path,
                 checkpoint_interval=ckpt_interval,
                 progress=progress,
@@ -141,6 +148,8 @@ def main(
         traceback.print_exc()
         metadata["reason"] = str(exc)
     finally:
+        if gui:
+            gui.close()
         if recorder:
             recorder.stop()
         if writer:

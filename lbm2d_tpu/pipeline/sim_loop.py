@@ -3,9 +3,10 @@
 Parity target: reference core/simulation_ops.py:60-242. Differences by
 design: the device advances ``compute_step_size`` lattice steps per host
 interaction as ONE compiled program (monitor scalars returned with the
-chunk), there is no GUI (headless frame composer + mp4 recorder), and
-optional periodic solver-state checkpoints are supported (the reference can
-only restart a case from step 0).
+chunk), the GUI is the matplotlib-backed viz.gui.GuiWindow (headless-safe;
+closing it aborts the case like the reference's ti.GUI), and optional
+periodic solver-state checkpoints are supported (the reference can only
+restart a case from step 0).
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ def run_simulation_loop(
     recorder,
     writer,
     max_steps: int,
+    gui=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_interval: int = 0,
     progress: bool = True,
@@ -49,12 +51,15 @@ def run_simulation_loop(
     exit_status = "Success"
     exit_reason = "Reached max_steps"
 
-    # Optional on-device dataset resize + deferred fetch (same design as the
-    # lockstep path, pipeline/batch_datagen.py): crop+area-average on the
-    # TPU so the device->host transfer ships [9, 256, W'] instead of the
-    # full grid, and issue that transfer AFTER the next chunk is dispatched
-    # so it overlaps compute. Essential on transfer-bound links (the
-    # remoted-TPU tunnel measures 2-8 MB/s D2H; a full-grid fetch is ~35s).
+    # Optional on-device dataset resize (same design as the lockstep path,
+    # pipeline/batch_datagen.py): crop+area-average on the TPU so the
+    # device->host transfer ships [9, 256, W'] instead of the full grid.
+    # The fetch happens immediately at the data step -- the device is idle
+    # there (the chunk's monitors were just synced) and the tunneled
+    # runtime's D2H rate is ~20x higher on an idle device than under
+    # concurrent compute, so fetching at idle beats deferring the transfer
+    # under the next chunk. Host-side HDF5 work is already asynchronous
+    # (AsyncLBMCaseWriter's worker thread).
     resizer = None
     _crop = None
     if device_resize and writer is not None:
@@ -65,17 +70,6 @@ def run_simulation_loop(
         resizer = make_device_resizer(
             w0.crop_h, w0.crop_w, w0.target_h, w0.target_w
         )
-    pending_moments = None
-
-    def flush_pending():
-        nonlocal pending_moments
-        if pending_moments is None:
-            return 0.0
-        t0 = time.perf_counter()
-        moments = np.asarray(pending_moments)
-        pending_moments = None
-        writer.append(moments, pre_resized=True)
-        return (time.perf_counter() - t0) * 1000
     timings = {"compute": 0.0, "viz_proc": 0.0, "video_io": 0.0, "moment_fetch": 0.0, "hdf5_io": 0.0}
 
     pbar = None
@@ -89,11 +83,14 @@ def run_simulation_loop(
 
     try:
         while current_steps < max_steps:
+            # user closed the live window -> abort the case (reference
+            # core/simulation_ops.py:91-95)
+            if gui is not None and not gui.running:
+                exit_status = "Aborted"
+                exit_reason = "GUI closed by user"
+                break
             t0 = time.perf_counter()
             engine.run_step(chunk)
-            # the previous data step's resized frame rides under this
-            # chunk's device compute
-            timings["moment_fetch"] = flush_pending()
             forces = engine.get_force()
             max_v = engine.get_max_velocity()
             current_steps += chunk
@@ -131,6 +128,9 @@ def run_simulation_loop(
                 if show_overlay:
                     img = draw_zone_overlay(img, zones)
                 timings["viz_proc"] = (time.perf_counter() - t0) * 1000
+                if is_gui_frame and gui is not None:
+                    gui.set_image(img)
+                    gui.show()
                 if is_vid_frame and recorder:
                     t0 = time.perf_counter()
                     recorder.write_frame(img)
@@ -144,10 +144,14 @@ def run_simulation_loop(
             )
             if is_data_step and writer:
                 if resizer is not None:
-                    # queue the device-resized frame; fetched next iteration
-                    pending_moments = resizer(
-                        engine.get_moments_device()[_crop]
+                    # device is idle here (monitors synced above): the small
+                    # resized frame fetches at the idle-link rate
+                    t0 = time.perf_counter()
+                    moments = np.asarray(
+                        resizer(engine.get_moments_device()[_crop])
                     )
+                    timings["moment_fetch"] = (time.perf_counter() - t0) * 1000
+                    writer.append(moments, pre_resized=True)
                 else:
                     t0 = time.perf_counter()
                     moments = engine.get_moments()
@@ -181,7 +185,6 @@ def run_simulation_loop(
 
         traceback.print_exc()
     finally:
-        flush_pending()  # trailing queued frame (loop end or break)
         if pbar:
             pbar.close()
 
