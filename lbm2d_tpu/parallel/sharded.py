@@ -25,7 +25,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..core.lattice import OPP, W, PI_REF, f_eq
+from ..core.lattice import E, OPP, W, PI_REF, f_eq
 from ..core.solver import (
     BC_FREE_SLIP,
     BC_INLET,
@@ -156,7 +156,7 @@ def _sharded_apply_bc(f, rho, u, step, p: CaseParams, ny: int, nx: int):
 def make_local_step(mesh, ny: int, nx: int):
     """Build the per-shard step(state, params) closure for shard_map.
 
-    ``nbb_l`` (half-way bounce-back only) is this shard's block of the
+    ``nbb_l`` (half-way / Bouzidi bounce-back) is this shard's block of the
     GLOBAL neighbor-solid bit plane (solver.neighbor_solid_bits), computed
     before shard_map so shard-boundary-crossing solid neighbors are seen."""
 
@@ -179,6 +179,27 @@ def make_local_step(mesh, ny: int, nx: int):
             for k in range(1, 9):
                 nb_solid = ((nbb_l >> k) & 1) != 0
                 planes.append(jnp.where(nb_solid, state.f[int(OPP[k])], fs[k]))
+            fs = jnp.stack(planes)
+        if p.bouzidi_obstacle:
+            # Bouzidi interpolated bounce-back (solver.collide_stream_full):
+            # the q < 1/2 branch reads f_j at c + e_k, which can cross a
+            # shard seam -- served from the same 1-cell halo the pull stream
+            # uses (f_halo holds the previous post-BC f with corners).
+            # Global-ring reads differ from the single-device zero fill only
+            # on ring cells, whose update the interior mask discards.
+            planes = [fs[0]]
+            for k in range(1, 9):
+                ex, ey = int(E[k, 0]), int(E[k, 1])
+                j = int(OPP[k])
+                nb_solid = ((nbb_l >> k) & 1) != 0
+                q = p.bouzidi_q[j - 1]
+                f_j = state.f[j]
+                f_j_up = f_halo[j, 1 + ey : 1 + ey + h, 1 + ex : 1 + ex + w]
+                lo = 2.0 * q * f_j + (1.0 - 2.0 * q) * f_j_up
+                hi = f_j / (2.0 * q) + (2.0 * q - 1.0) / (2.0 * q) * state.f[k]
+                planes.append(
+                    jnp.where(nb_solid, jnp.where(q < 0.5, lo, hi), fs[k])
+                )
             fs = jnp.stack(planes)
         f_c, rho_c, ux_c, uy_c = mrt_collide(fs, p, damping=p.damping)
         if p.bounce_obstacle:
@@ -253,7 +274,7 @@ def _halo_update_padded(fp: jnp.ndarray, hl: int, wl: int, px: int, mesh):
     return fp
 
 
-def _pick_shard_tiles(hl: int, wp: int, px: int):
+def _pick_shard_tiles(hl: int, wp: int, px: int, extra: int = 0):
     """Band height for the per-shard fused kernel (BW = wp; px = 0 for a
     row-only decomposition, 128 when x is sharded too).
 
@@ -266,7 +287,7 @@ def _pick_shard_tiles(hl: int, wp: int, px: int):
     # v5e calibration: 14MB of the 16MB scoped default; scaled per device
     budget = budgets().split_budget_floats + 1024 * 1024 // 4
     bh = 256
-    while bh > 16 and (60 * bh + 9 * 2 * 8 + 2 * 9 * 8) * (wp + 2 * px) > budget:
+    while bh > 16 and ((60 + extra) * bh + 9 * 2 * 8 + 2 * 9 * 8) * (wp + 2 * px) > budget:
         bh -= 16
     while bh > 16 and (hl % bh == 1 or hl % (bh // 2) == 1):
         bh -= 16
@@ -305,19 +326,20 @@ def run_chunk_sharded_pallas(
 
     if not supports(p):
         raise ValueError(f"bc_type {p.bc_type} unsupported by the fused kernel")
-    if p.bouzidi_obstacle:
-        # the sharded kernel composition does not thread the q planes (and a
-        # curved obstacle crossing a shard seam would need q-halo exchange)
-        raise ValueError("Bouzidi obstacles are single-chip only")
     rys, rxs = mesh.shape[AXIS_Y], mesh.shape[AXIS_X]
     if ny % rys or nx % rxs:
         raise ValueError(f"grid {ny}x{nx} not divisible by mesh {rys}x{rxs}")
     hl, wl = ny // rys, nx // rxs
+    # Bouzidi: the q planes ride the band BlockSpecs exactly like the
+    # single-chip split path (q is read at the cell only -- no q halo); the
+    # f_opp(c + e_k) neighbor read is served by the same 1-cell halo the
+    # pull stream uses, so shard-seam-crossing curved walls are exact.
+    q_extra = 16 if p.bouzidi_obstacle else 0
     # row-only decomposition (dx == 1) uses the single-chip PX = 0 geometry:
     # no column halos, so the per-step exchange is just two row updates
     wp = _round_up(wl, 128) if rxs == 1 else wl
     bh_fast, bh_full, BW, PXs = tiles or _pick_shard_tiles(
-        hl, wp, 0 if rxs == 1 else 128
+        hl, wp, 0 if rxs == 1 else 128, extra=q_extra
     )
     if not interpret and rxs > 1 and wl % 128:
         raise ValueError(f"local width {wl} must be a multiple of 128 lanes")
@@ -331,7 +353,9 @@ def run_chunk_sharded_pallas(
         and hl % 8 == 0 and hl >= 16
     )
     if split:
-        bh_fast, BW, PXs = _pick_split_tiles(hl, wl, 0 if rxs == 1 else 128)
+        bh_fast, BW, PXs = _pick_split_tiles(
+            hl, wl, 0 if rxs == 1 else 128, extra=q_extra
+        )
         hp_s = _round_up(hl, bh_fast)
         # the chunk-closing full step keeps the traced-mask in-kernel BCs
         # plus rho/u/f_post output blocks: ~92 live planes per band row
@@ -341,7 +365,8 @@ def run_chunk_sharded_pallas(
         bh_full = next(
             b for b in (48, 32, 16, 8)
             if hp_s % b == 0
-            and (92 * b + 160) * (_round_up(wl, 128) + 2 * PXs) <= full_budget
+            and ((92 + q_extra) * b + 160)
+            * (_round_up(wl, 128) + 2 * PXs) <= full_budget
         )
     Hp = _round_up(hl, bh_fast)
     Wp = _round_up(wl, BW)
@@ -350,7 +375,11 @@ def run_chunk_sharded_pallas(
     edims = (hl, wl, Hp, Wp, PXs, ny, nx)
     dtype = state.f.dtype
 
-    nbb_g = neighbor_solid_bits(p.mask) if p.halfway_obstacle else None
+    nbb_g = (
+        neighbor_solid_bits(p.mask)
+        if (p.halfway_obstacle or p.bouzidi_obstacle)
+        else None
+    )
 
     def local_chunk(state_l: LBMState, p_l: CaseParams, *nbb_rest) -> LBMState:
         nbb_l = nbb_rest[0] if nbb_rest else None
@@ -367,6 +396,12 @@ def run_chunk_sharded_pallas(
         nbb_b = (
             None if nbb_l is None
             else jnp.pad(nbb_l, ((0, Hp - hl), (0, Wp - wl)))
+        )
+        # p_l.bouzidi_q is this shard's [8, hl, wl] block (params_specs
+        # shards it (None, dy, dx)); pad like aux -- no PY row offset
+        qp_b = (
+            None if not p.bouzidi_obstacle
+            else jnp.pad(p_l.bouzidi_q, ((0, 0), (0, Hp - hl), (0, Wp - wl)))
         )
 
         def halo_rows(fp):
@@ -395,7 +430,7 @@ def run_chunk_sharded_pallas(
                     fp, aux_b, scal, None, h_lo, h_hi, dims,
                     p_l.use_les, p_l.bc_type, False, interpret, False,
                     ec_buf=ec, er_buf=er, bounce=p_l.bounce_obstacle,
-                    nbb_p=nbb_b,
+                    nbb_p=nbb_b, q_p=qp_b,
                 )
                 fp_new = _edge_bc_step(
                     fp_new, aux_b, ec, er, scal, edims, p_l.bc_type,
@@ -405,7 +440,7 @@ def run_chunk_sharded_pallas(
             return _pallas_step(
                 fp, aux_b, scal, offs, h_lo, h_hi, dims,
                 p_l.use_les, p_l.bc_type, full, interpret,
-                bounce=p_l.bounce_obstacle, nbb_p=nbb_b,
+                bounce=p_l.bounce_obstacle, nbb_p=nbb_b, q_p=qp_b,
             )
 
         if split:
@@ -509,15 +544,12 @@ def run_chunk_sharded_pallas(
 @functools.partial(jax.jit, static_argnames=("n_steps", "mesh", "ny", "nx"))
 def run_chunk_sharded(state: LBMState, p: CaseParams, n_steps: int, mesh, ny: int, nx: int):
     """Advance n_steps on the mesh; monitors computed globally under GSPMD."""
-    if p.bouzidi_obstacle:
-        # the q < 1/2 two-point interpolation reads a neighbor across the
-        # link, which can cross a shard seam; not wired into the halo
-        # exchange -- fail loudly instead of computing a silently-wrong wall
-        raise NotImplementedError(
-            "bounce_back_bouzidi is single-device (jnp path) only"
-        )
     local_step = make_local_step(mesh, ny, nx)
-    nbb_g = neighbor_solid_bits(p.mask) if p.halfway_obstacle else None
+    nbb_g = (
+        neighbor_solid_bits(p.mask)
+        if (p.halfway_obstacle or p.bouzidi_obstacle)
+        else None
+    )
 
     def chunk(state_l, p_l, *nbb_rest):
         nbb_l = nbb_rest[0] if nbb_rest else None

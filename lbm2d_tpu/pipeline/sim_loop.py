@@ -70,6 +70,24 @@ def run_simulation_loop(
         resizer = make_device_resizer(
             w0.crop_h, w0.crop_w, w0.target_h, w0.target_w
         )
+    # With --device_resize, video/GUI frames are also rendered ON DEVICE
+    # (ops/render.py: |u| + vorticity + colormap LUT at display size) and
+    # fetched as uint8 -- ~1/30 the bytes of the full-resolution u field the
+    # host composer needs (the lockstep path ships the same frames,
+    # pipeline/batch_datagen.py; parity pinned by tests/test_render.py).
+    dev_renderer = None
+    if (
+        device_resize
+        and composer is not None
+        and (out_cfg["video"]["enable"] or out_cfg["gui"]["enable"])
+    ):
+        from ..ops.render import make_device_frame_renderer
+
+        dev_renderer = make_device_frame_renderer(
+            composer.width,
+            composer.height,
+            viz_sigma=out_cfg["gui"].get("gaussian_sigma", 1.0),
+        )
     timings = {"compute": 0.0, "viz_proc": 0.0, "video_io": 0.0, "moment_fetch": 0.0, "hdf5_io": 0.0}
 
     pbar = None
@@ -123,17 +141,27 @@ def run_simulation_loop(
             )
             if (is_vid_frame or is_gui_frame) and composer is not None:
                 t0 = time.perf_counter()
-                u_np, mask_np = engine.get_physical_fields()
-                img = composer.process_frame(u_np, mask_np)
-                if show_overlay:
-                    img = draw_zone_overlay(img, zones)
+                if dev_renderer is not None:
+                    img = np.asarray(
+                        dev_renderer(engine.state.u, engine.params.mask)
+                    )
+                    if show_overlay:
+                        img = draw_zone_overlay(img.copy(), zones)
+                else:
+                    u_np, mask_np = engine.get_physical_fields()
+                    img = composer.process_frame(u_np, mask_np)
+                    if show_overlay:
+                        img = draw_zone_overlay(img, zones)
                 timings["viz_proc"] = (time.perf_counter() - t0) * 1000
                 if is_gui_frame and gui is not None:
                     gui.set_image(img)
                     gui.show()
                 if is_vid_frame and recorder:
                     t0 = time.perf_counter()
-                    recorder.write_frame(img)
+                    if dev_renderer is not None:
+                        recorder.write_frame_u8(img)
+                    else:
+                        recorder.write_frame(img)
                     timings["video_io"] = (time.perf_counter() - t0) * 1000
 
             is_data_step = (

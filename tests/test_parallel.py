@@ -444,3 +444,128 @@ def test_sharded_pallas_split_bc_2d_mesh():
     np.testing.assert_allclose(
         np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Bouzidi interpolated bounce-back across shard seams
+# ---------------------------------------------------------------------------
+
+
+def _bouzidi_case(nx, ny, geom):
+    """Config + mask for a Bouzidi cylinder whose boundary links cross the
+    shard seams of the meshes below (off-grid center -> varied q values)."""
+    from tests.test_bouzidi import circle_mask, cyl_config
+
+    cfg = cyl_config(nx=nx, ny=ny)
+    cfg["boundary_condition"]["obstacle_geometry"] = dict(geom)
+    mask = circle_mask(ny, nx, geom)
+    return cfg, mask
+
+
+def test_sharded_bouzidi_matches_unsharded():
+    """Bouzidi on the jnp sharded step (2x4 mesh): the q < 1/2 branch reads
+    f_opp at c + e_k, which crosses both x and y shard seams here -- served
+    by the same 1-cell f halo the pull stream uses."""
+    assert len(jax.devices()) >= 8
+    nx, ny = 64, 32
+    geom = {"shape": "cylinder", "cx": 32.4, "cy": 16.3, "r": 6.2}
+    cfg, mask = _bouzidi_case(nx, ny, geom)
+    p = make_params(cfg, mask)
+    ref_state, ref_mon = run_chunk(init_state(ny, nx), p, 30)
+
+    mesh = make_mesh(shape=(2, 4))
+    st_sh, p_sh = shard_state(init_state(ny, nx), make_params(cfg, mask), mesh)
+    sh_state, sh_mon = run_chunk_sharded(
+        st_sh, p_sh, n_steps=30, mesh=mesh, ny=ny, nx=nx
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.f), np.asarray(ref_state.f), atol=2e-6,
+        err_msg="sharded Bouzidi f diverged from single-device f",
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u), np.asarray(ref_state.u), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )
+
+
+def test_sharded_pallas_bouzidi_fused_2d_mesh():
+    """Bouzidi through the per-shard fused kernel (non-split path: small
+    shards keep the in-kernel BCs), cylinder crossing the x and y seams of
+    a 2x2 mesh."""
+    assert len(jax.devices()) >= 4
+    nx, ny = 64, 32
+    geom = {"shape": "cylinder", "cx": 32.4, "cy": 16.3, "r": 6.2}
+    cfg, mask = _bouzidi_case(nx, ny, geom)
+    p = make_params(cfg, mask)
+    ref_state, ref_mon = run_chunk(init_state(ny, nx), p, 20)
+
+    mesh = make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    st_sh, p_sh = shard_state(init_state(ny, nx), make_params(cfg, mask), mesh)
+    sh_state, sh_mon = run_chunk_sharded_pallas(
+        st_sh, p_sh, n_steps=20, mesh=mesh, ny=ny, nx=nx, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.f), np.asarray(ref_state.f), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u), np.asarray(ref_state.u), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )
+
+
+def test_sharded_pallas_bouzidi_split_rows_mesh():
+    """Bouzidi on the split-BC fast path, rows-only 4x1 mesh (wl = 128,
+    PX = 0 lane-roll streaming): q planes ride the band BlockSpecs and the
+    cylinder crosses the y seams at 16/32/48."""
+    assert len(jax.devices()) >= 4
+    nx, ny = 128, 64
+    geom = {"shape": "cylinder", "cx": 40.3, "cy": 31.6, "r": 6.2}
+    cfg, mask = _bouzidi_case(nx, ny, geom)
+    p = make_params(cfg, mask)
+    ref_state, ref_mon = run_chunk(init_state(ny, nx), p, 16)
+
+    mesh = make_mesh(shape=(4, 1), devices=jax.devices()[:4])
+    st_sh, p_sh = shard_state(init_state(ny, nx), make_params(cfg, mask), mesh)
+    sh_state, sh_mon = run_chunk_sharded_pallas(
+        st_sh, p_sh, n_steps=16, mesh=mesh, ny=ny, nx=nx, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.f), np.asarray(ref_state.f), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u), np.asarray(ref_state.u), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )
+
+
+def test_sharded_pallas_bouzidi_split_2d_mesh():
+    """Bouzidi on the split-BC fast path over a 2D mesh (2x2, wl = 128,
+    PX = 128 real x halo): the cylinder sits on the x seam at 128 and the
+    y seam at 32, so interpolated links cross BOTH seam kinds."""
+    assert len(jax.devices()) >= 4
+    nx, ny = 256, 64
+    geom = {"shape": "cylinder", "cx": 127.4, "cy": 32.6, "r": 6.2}
+    cfg, mask = _bouzidi_case(nx, ny, geom)
+    p = make_params(cfg, mask)
+    ref_state, ref_mon = run_chunk(init_state(ny, nx), p, 12)
+
+    mesh = make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    st_sh, p_sh = shard_state(init_state(ny, nx), make_params(cfg, mask), mesh)
+    sh_state, sh_mon = run_chunk_sharded_pallas(
+        st_sh, p_sh, n_steps=12, mesh=mesh, ny=ny, nx=nx, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.f), np.asarray(ref_state.f), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u), np.asarray(ref_state.u), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )

@@ -235,3 +235,42 @@ def test_serial_device_resize_matches_host_path(tmp_path):
         ta, tb = fa["turbulence"][:], fb["turbulence"][:]
         assert ta.shape == tb.shape
         np.testing.assert_allclose(ta, tb, rtol=0, atol=2e-5)
+
+
+def test_serial_device_resize_video_matches_host_path(tmp_path):
+    """batch_run --device_resize also renders VIDEO frames on device
+    (sim_loop dev_renderer -> uint8 fetch, ~1/30 the full-res u bytes the
+    host composer needs): the mp4 must decode to the same frames as the
+    host-composer path within colormap-quantization tolerance."""
+    import cv2
+    from lbm2d_tpu.pipeline.batch_run import run_batch
+
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    os.makedirs(root_a)
+    os.makedirs(root_b)
+
+    make_project(root_a, name="DV")
+    make_project(root_b, name="DV")
+
+    run_batch("DV", root=root_a, progress=False)
+    run_batch("DV", root=root_b, progress=False, device_resize=True)
+
+    def decode(root):
+        cap = cv2.VideoCapture(
+            os.path.join(root, "outputs/DV/vis/mask_00_Nu0-0500.mp4")
+        )
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame[:, :, ::-1])  # BGR -> RGB
+        cap.release()
+        return np.asarray(frames)
+
+    fa, fb = decode(root_a), decode(root_b)
+    assert fa.shape == fb.shape and len(fa) >= 1
+    diff = np.abs(fa.astype(np.int32) - fb.astype(np.int32))
+    assert np.mean(diff) < 2.0, f"mean byte diff {np.mean(diff)}"
+    assert np.mean(diff > 8) < 0.03, f"large-diff fraction {np.mean(diff > 8)}"
