@@ -569,3 +569,72 @@ def test_sharded_pallas_bouzidi_split_2d_mesh():
     np.testing.assert_allclose(
         np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# NEBB profiled inlet (bc type 4) on the sharded paths: "DFG on a mesh"
+# ---------------------------------------------------------------------------
+
+
+def _nebb_bouzidi_case(nx, ny, geom):
+    """DFG-style config -- NEBB profiled inlet (type 4) + Bouzidi cylinder --
+    the production validation configuration, here crossing shard seams."""
+    cfg, mask = _bouzidi_case(nx, ny, geom)
+    cfg["boundary_condition"]["type"][0] = 4  # BC_VEL_INLET_NEBB
+    return cfg, mask
+
+
+def test_sharded_nebb_bouzidi_matches_unsharded():
+    """NEBB inlet (type 4) + Bouzidi obstacle on the jnp sharded step (2x4
+    mesh): the inlet's f_eq(rho_nb, u_nb) correction reads only the local
+    neighbor column, so the left-edge shards reproduce the single-device
+    boundary exactly."""
+    assert len(jax.devices()) >= 8
+    nx, ny = 64, 32
+    geom = {"shape": "cylinder", "cx": 32.4, "cy": 16.3, "r": 6.2}
+    cfg, mask = _nebb_bouzidi_case(nx, ny, geom)
+    p = make_params(cfg, mask)
+    ref_state, ref_mon = run_chunk(init_state(ny, nx), p, 30)
+
+    mesh = make_mesh(shape=(2, 4))
+    st_sh, p_sh = shard_state(init_state(ny, nx), make_params(cfg, mask), mesh)
+    sh_state, sh_mon = run_chunk_sharded(
+        st_sh, p_sh, n_steps=30, mesh=mesh, ny=ny, nx=nx
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.f), np.asarray(ref_state.f), atol=2e-6,
+        err_msg="sharded NEBB+Bouzidi f diverged from single-device f",
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u), np.asarray(ref_state.u), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )
+
+
+def test_sharded_pallas_nebb_bouzidi_fused_2d_mesh():
+    """NEBB inlet (type 4) + Bouzidi through the per-shard fused kernel on a
+    2x2 mesh: the left-column shards run the in-kernel NEBB edge math on
+    their global ring while the cylinder crosses both seam kinds."""
+    assert len(jax.devices()) >= 4
+    nx, ny = 64, 32
+    geom = {"shape": "cylinder", "cx": 32.4, "cy": 16.3, "r": 6.2}
+    cfg, mask = _nebb_bouzidi_case(nx, ny, geom)
+    p = make_params(cfg, mask)
+    ref_state, ref_mon = run_chunk(init_state(ny, nx), p, 16)
+
+    mesh = make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    st_sh, p_sh = shard_state(init_state(ny, nx), make_params(cfg, mask), mesh)
+    sh_state, sh_mon = run_chunk_sharded_pallas(
+        st_sh, p_sh, n_steps=16, mesh=mesh, ny=ny, nx=nx, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.f), np.asarray(ref_state.f), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.u), np.asarray(ref_state.u), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_mon["force"]), np.asarray(ref_mon["force"]), atol=1e-4
+    )
