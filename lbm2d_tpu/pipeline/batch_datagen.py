@@ -102,6 +102,7 @@ def run_lockstep_group(
     n_devices: Optional[int] = None,
     f16_transfer: bool = False,
     video: bool = True,
+    fetch_overlap: bool = True,
 ) -> List[Dict[str, Any]]:
     """Run one same-shape group in lockstep; returns per-case summary entries.
 
@@ -117,6 +118,13 @@ def run_lockstep_group(
     frames, so the lockstep path emits the reference's full per-case
     artifact set (vis/*.mp4: reference io/video_recorder.py:17-52 wired in
     core/simulation_ops.py:146-168). Respects outputs.video.enable.
+
+    ``fetch_overlap``: run the device->host save/video fetch on a worker
+    thread so the transfer rides under the NEXT chunk's compute (round-3
+    probe: concurrent D2H sustains the full 20-35 MB/s link rate with no
+    compute slowdown; the round-2 load-collapse that motivated fetch-at-idle
+    no longer reproduces). Disable (--fetch_at_idle) to restore the serial
+    idle-window fetch if a link degrades under load again.
     """
     cfg0 = members[0][1]
     sim0 = cfg0["simulation"]
@@ -251,33 +259,66 @@ def run_lockstep_group(
             )
         os.replace(tmp, ckpt_path)
 
-    # Fetch-at-idle pipeline. The tunneled runtime's D2H bandwidth COLLAPSES
-    # while the device is executing (~3.6 MB/s measured mid-run vs 65-100
-    # MB/s on an idle device), so the classic "overlap the transfer with the
-    # next chunk's compute" trick is exactly wrong on this link: a deferred
-    # 40 MB save+video fetch took ~11 s under load. Instead, device->host
-    # transfers happen in the idle window right after a chunk's monitors
-    # sync (fetch_pending), and only the HOST-side work -- video encode,
-    # HDF5 queueing -- rides under the next chunk's compute (write_fetched).
+    # Save/video fetch pipeline. Default (fetch_overlap): the D2H transfer
+    # runs on a worker thread UNDER the next chunk's compute -- the round-3
+    # probe showed concurrent D2H sustains the full link rate (20-35 MB/s)
+    # with no compute slowdown, so the transfer and the lattice update
+    # genuinely overlap. Fallback (--fetch_at_idle): transfers happen in the
+    # idle window right after a chunk's monitors sync -- keep if a link's
+    # D2H collapses under load again (round 2 measured 3.6 MB/s loaded vs
+    # 65-100 MB/s idle on an earlier tunnel). Either way only HOST-side
+    # work -- video encode, HDF5 queueing -- rides in write_fetched.
     pending = None  # (device moments array, pre_resized flag)
     pending_video = None  # device uint8 frames [B, gui_h, gui_w, 3]
+    fetch_thread: Optional[Any] = None
+    fetch_box: Dict[str, Any] = {}
 
-    def fetch_pending():
-        """np.asarray the queued device arrays; call while the device is
-        idle (right after sync_monitors). Returns host data for
-        write_fetched."""
+    def _take_pending():
         nonlocal pending, pending_video
+        pen, pv = pending, pending_video
+        pending = None
+        pending_video = None
+        return pen, pv
+
+    def _fetch(pen, pv):
+        """np.asarray device arrays -> host dict for write_fetched."""
         out = {}
-        if pending_video is not None:
-            out["frames"] = np.asarray(pending_video)
-            pending_video = None
-        if pending is not None:
-            dev, pre = pending
-            pending = None
+        if pv is not None:
+            out["frames"] = np.asarray(pv)
+        if pen is not None:
+            dev, pre = pen
             moments = np.asarray(dev)
             if moments.dtype != np.float32:
                 moments = moments.astype(np.float32)
             out["moments"] = (moments, pre)
+        return out
+
+    def fetch_pending():
+        return _fetch(*_take_pending())
+
+    def start_fetch():
+        """Kick the D2H transfer on a worker thread; the device arrays are
+        captured NOW (main thread) so the next iteration's queue phase can
+        safely set new pending handles."""
+        nonlocal fetch_thread
+        import threading
+
+        pen, pv = _take_pending()
+
+        def _worker():
+            fetch_box.update(_fetch(pen, pv))
+
+        fetch_thread = threading.Thread(target=_worker, daemon=True)
+        fetch_thread.start()
+
+    def join_fetch():
+        nonlocal fetch_thread
+        if fetch_thread is None:
+            return {}
+        fetch_thread.join()
+        fetch_thread = None
+        out = dict(fetch_box)
+        fetch_box.clear()
         return out
 
     def write_fetched(out):
@@ -318,6 +359,10 @@ def run_lockstep_group(
         mon_dev = engine.run_step(chunk, sync=False)
         tp1 = time.perf_counter()
         steps += chunk
+        if fetch_thread is not None:
+            # the worker transferred while this chunk computes; the join
+            # wait is the residual transfer time the compute couldn't hide
+            fetched = join_fetch()
         write_fetched(fetched)  # host-only IO rides under the chunk's compute
         fetched = {}
         tp2 = time.perf_counter()
@@ -365,9 +410,15 @@ def run_lockstep_group(
             save_group_ckpt()
         tp4 = time.perf_counter()
         prof["queue"] += tp4 - tp3
-        # device is idle now (chunk synced; renderer/resizer are sub-ms
-        # epilogues) -- transfers run at the idle-link rate here
-        fetched = fetch_pending()
+        if fetch_overlap:
+            # transfer rides under the next chunk's compute on a worker
+            # thread (prof["fetch"] is then the join wait inside "write")
+            if pending is not None or pending_video is not None:
+                start_fetch()
+        else:
+            # device is idle now (chunk synced; renderer/resizer are sub-ms
+            # epilogues) -- transfers run at the idle-link rate here
+            fetched = fetch_pending()
         prof["fetch"] += time.perf_counter() - tp4
         if progress and steps % (chunk * 50) == 0:
             done = steps / max_steps
@@ -382,6 +433,7 @@ def run_lockstep_group(
                 )
                 prof = {k: 0.0 for k in prof}
             print(line, flush=True)
+    write_fetched(join_fetch())  # in-flight overlapped transfer, if any
     write_fetched(fetched)  # last iteration's fetched-but-unwritten frame
     flush_pending()
     wall = time.perf_counter() - t0
@@ -466,6 +518,7 @@ def run_batched(
     n_devices: Optional[int] = None,
     f16_transfer: bool = False,
     video: bool = True,
+    fetch_overlap: bool = True,
 ) -> Dict[str, int]:
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -498,7 +551,7 @@ def run_batched(
         entries = run_lockstep_group(
             members, project_paths, output_dirs, progress, device_resize,
             runner=runner, n_devices=n_devices, f16_transfer=f16_transfer,
-            video=video,
+            video=video, fetch_overlap=fetch_overlap,
         )
         for entry in entries:
             fname = entry["config_filename"]
@@ -556,12 +609,19 @@ def main() -> None:
         help="skip the device-rendered per-case mp4 (outputs.video config "
         "is honored when omitted)",
     )
+    ap.add_argument(
+        "--fetch_at_idle", action="store_true",
+        help="serialize save/video fetches into the post-chunk idle window "
+        "instead of overlapping them with the next chunk's compute (use on "
+        "links whose D2H bandwidth collapses under device load)",
+    )
     args = ap.parse_args()
     run_batched(
         args.project_name, args.max_batch, root=args.root,
         device_resize=args.device_resize,
         runner=args.runner, n_devices=args.n_devices,
         f16_transfer=args.f16_transfer, video=not args.no_video,
+        fetch_overlap=not args.fetch_at_idle,
     )
 
 

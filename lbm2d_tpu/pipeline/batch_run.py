@@ -64,6 +64,7 @@ def run_batch(
     max_batch: int = 16,
     f16_transfer: bool = False,
     video: bool = True,
+    fetch_overlap: bool = True,
 ) -> Dict[str, int]:
     """Run every pending case of a project (reference batch_run contract).
 
@@ -85,7 +86,7 @@ def run_batch(
         return run_batched(
             project_name, max_batch=max_batch, root=root, progress=progress,
             device_resize=device_resize, f16_transfer=f16_transfer,
-            video=video,
+            video=video, fetch_overlap=fetch_overlap,
         )
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -223,12 +224,15 @@ def main() -> None:
                     help="f16 dataset fetches (with --lockstep)")
     ap.add_argument("--no_video", action="store_true",
                     help="skip per-case mp4 (with --lockstep)")
+    ap.add_argument("--fetch_at_idle", action="store_true",
+                    help="serial idle-window fetches instead of overlapping "
+                    "transfers with compute (with --lockstep)")
     args = ap.parse_args()
     run_batch(
         args.project_name, args.max_success, root=args.root,
         device_resize=args.device_resize, lockstep=args.lockstep,
         max_batch=args.max_batch, f16_transfer=args.f16_transfer,
-        video=not args.no_video,
+        video=not args.no_video, fetch_overlap=not args.fetch_at_idle,
     )
 
 

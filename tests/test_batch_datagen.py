@@ -324,3 +324,28 @@ def test_f16_transfer_quantizes_but_matches(tmp_path):
             assert tb.dtype == np.float32  # storage contract unchanged
             np.testing.assert_allclose(ta, tb, rtol=1e-3, atol=2e-3)
             assert not np.array_equal(ta, tb)  # really quantized
+
+
+def test_fetch_at_idle_matches_overlapped(tmp_path):
+    """The overlapped worker-thread D2H fetch (default) and the idle-window
+    serial fetch fallback produce byte-identical HDF5 datasets and the same
+    video artifact: the fetch schedule is a transport detail, never a data
+    path."""
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    os.makedirs(root_a)
+    os.makedirs(root_b)
+    make_two_case_project(root_a, name="FO")
+    make_two_case_project(root_b, name="FO")
+    run_batched("FO", max_batch=8, root=root_a, progress=False,
+                fetch_overlap=True)
+    run_batched("FO", max_batch=8, root=root_b, progress=False,
+                fetch_overlap=False)
+    for case in ("mask_00_Nu0-0500", "mask_00_Nu0-0300"):
+        with h5py.File(
+            os.path.join(root_a, "outputs/FO/raw", f"{case}.h5")
+        ) as fa, h5py.File(
+            os.path.join(root_b, "outputs/FO/raw", f"{case}.h5")
+        ) as fb:
+            for ds in ("turbulence", "mean_vel_field", "sum_vor"):
+                np.testing.assert_array_equal(fa[ds][:], fb[ds][:])
