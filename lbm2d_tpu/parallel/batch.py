@@ -173,6 +173,30 @@ _run_chunk_sequential = functools.partial(jax.jit, static_argnames=(
     "n_steps", "batch", "interpret"
 ))(_chunk_sequential)
 
+# TPU variant donating the input state: the chunk's stacked output then
+# reuses the input's HBM instead of coexisting with it. At B = 64 x 1024^2
+# the state is ~5.4GB, and the compaction path (below) additionally holds
+# the full-batch state while a compacted chunk runs -- without donation
+# that sum OOMed a 16GB v5e. Kept separate from the portable jit because
+# CPU (the test platform) does not implement donation and warns on it.
+_run_chunk_sequential_donated = functools.partial(jax.jit, static_argnames=(
+    "n_steps", "batch", "interpret"
+), donate_argnums=(0,))(_chunk_sequential)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_compact(full_state, full_alive, compact_state, compact_alive,
+                     live_pad):
+    """Scatter a compacted chunk's results back into the full batch IN PLACE
+    (donated): rows whose ``live_pad`` entry is out of range (the ladder's
+    padding duplicates) are dropped rather than clamped, so a dead case's
+    frozen state is never clobbered by its padding twin."""
+    put = lambda f, c: f.at[live_pad].set(c, mode="drop")
+    return (
+        jax.tree.map(put, full_state, compact_state),
+        put(full_alive, compact_alive),
+    )
+
 
 # ---------------------------------------------------------------------------
 # Cross-chip independent-case parallelism (SURVEY section 2.2: "pmap/
@@ -277,6 +301,12 @@ class BatchEngine:
             make_params(c, m, dtype) for c, m in zip(configs, masks_yx)
         ]
         self.params = stack_params(self.case_params)
+        # resident compacted pack (dead-case compaction): while some cases
+        # are dead, the sequential path runs on a gathered alive-only state
+        # kept PACKED across chunks -- cases never resurrect, so the pack
+        # stays valid until the ladder rung shrinks or an external consumer
+        # reads .state (the property below scatters back on demand)
+        self._pack: Optional[Dict[str, Any]] = None
         self.state = init_batch_state(self.batch, self.ny, self.nx, dtype)
         self.alive = jnp.ones((self.batch,), bool)
         self.last_monitors: Optional[Dict[str, jnp.ndarray]] = None
@@ -366,6 +396,43 @@ class BatchEngine:
         self._alive_np &= out["stable"]
         return out
 
+    # ``state`` scatters a resident compacted pack back into the full batch
+    # before handing it out, so every external consumer (dataset fetches,
+    # video renderer, checkpointing, get_moments) always sees the full-batch
+    # layout; ``alive`` is maintained full-size at all times (cheap).
+    @property
+    def state(self) -> LBMState:
+        self._unpack()
+        return self._state
+
+    @state.setter
+    def state(self, value: LBMState) -> None:
+        self._pack = None
+        self._state = value
+
+    @property
+    def alive(self):
+        return self._alive
+
+    @alive.setter
+    def alive(self, value) -> None:
+        self._alive = value
+
+    def _unpack(self) -> None:
+        """Scatter the resident compacted pack back into the full state."""
+        if self._pack is None:
+            return
+        pack, self._pack = self._pack, None
+        if self._interpret:  # CPU has no donation support (warns)
+            put = lambda f, c: f.at[pack["live_pad"]].set(c, mode="drop")
+            self._state = jax.tree.map(put, self._state, pack["state"])
+            self._alive = put(self._alive, pack["alive"])
+        else:
+            self._state, self._alive = _scatter_compact(
+                self._state, self._alive, pack["state"], pack["alive"],
+                pack["live_pad"],
+            )
+
     def set_state(self, state: LBMState, alive) -> None:
         """Restore engine state + alive flags (checkpoint resume)."""
         self.state = state
@@ -395,17 +462,30 @@ class BatchEngine:
         where-frozen dead case still burns its full kernel time (the
         lax.cond skip only works at B <= 8; its branch buffering OOMs
         larger batches). Instead the HOST re-packs at chunk boundaries:
-        gather the alive cases to a power-of-two batch, run the compact
-        chunk, scatter results back. Gather+scatter traffic is ~2 state
-        copies per ~n-step chunk (<1% of chunk work); distinct compact
-        sizes are log2-bounded so recompiles are too. Dropped cases keep
-        their frozen state and report their last monitors.
+        gather the alive cases to a ladder-size batch and run the compact
+        chunk. The pack stays RESIDENT across chunks (cases never
+        resurrect), so gather/scatter traffic is paid only when the rung
+        shrinks or an external consumer reads .state -- per-chunk
+        repacking measured 86% of the all-alive aggregate at B=64/25%
+        dead; resident packing removes that overhead. Dropped cases keep
+        their frozen state and report their last monitors; distinct
+        compact sizes are log2-bounded so recompiles are too.
         """
         idx = np.nonzero(self._alive_np)[0]
         bc = self._ladder(max(len(idx), 1), self.batch)
+        # CPU (tests) has no donation support; TPU donates so the chunk
+        # output reuses the input state's HBM (see _run_chunk_sequential_
+        # donated) -- nothing else may hold those buffers past dispatch,
+        # which holds: checkpoint/video consumers read state leaves either
+        # synchronously or as already-dispatched ops the runtime sequences.
+        run = (
+            _run_chunk_sequential if self._interpret
+            else _run_chunk_sequential_donated
+        )
         if bc == self.batch:
-            self.state, self.alive, mon = _run_chunk_sequential(
-                self.state, self.params, self.alive, n, self.batch,
+            self._unpack()
+            self.state, self.alive, mon = run(
+                self._state, self.params, self._alive, n, self.batch,
                 self._interpret,
             )
             self._mon_full = mon
@@ -418,28 +498,43 @@ class BatchEngine:
                 "stable": jnp.asarray(self._alive_np),
             }
         if len(idx) == 0:
+            self._unpack()
             return self._mon_full  # whole batch dead: nothing to advance
-        # pad the gather list up to the ladder size with case idx[0]; the
-        # duplicates are masked dead so they freeze and never scatter back
-        pad = np.concatenate([idx, np.full(bc - len(idx), idx[0], idx.dtype)])
-        pad_dev = jnp.asarray(pad)
-        take = lambda x: jnp.take(x, pad_dev, axis=0)
-        st_c = jax.tree.map(take, self.state)
-        p_c = jax.tree.map(take, self.params)
-        alive_c = jnp.asarray(np.arange(bc) < len(idx))
-        st_c, alive_c, mon_c = _run_chunk_sequential(
-            st_c, p_c, alive_c, n, bc, self._interpret
+        if self._pack is None or self._pack["bc"] != bc:
+            # (re-)pack: gather the alive cases to the ladder size, padding
+            # with duplicates of idx[0] masked dead so they freeze and are
+            # dropped on scatter. Cases never resurrect, so an existing
+            # pack stays valid until the rung shrinks -- gather/scatter
+            # traffic is paid per RUNG CHANGE, not per chunk (the per-chunk
+            # copies cost ~12% aggregate at B=64/100-step chunks).
+            self._unpack()
+            pad = np.concatenate(
+                [idx, np.full(bc - len(idx), idx[0], idx.dtype)]
+            )
+            pad_dev = jnp.asarray(pad)
+            take = lambda x: jnp.take(x, pad_dev, axis=0)
+            self._pack = {
+                "bc": bc,
+                "state": jax.tree.map(take, self._state),
+                "params": jax.tree.map(take, self.params),
+                "alive": jnp.asarray(np.arange(bc) < len(idx)),
+                # scatter targets: real rows go home, padding duplicates
+                # aim one past the batch and are dropped by mode="drop"
+                "live_pad": jnp.asarray(np.concatenate(
+                    [idx, np.full(bc - len(idx), self.batch, idx.dtype)]
+                )),
+            }
+        pack = self._pack
+        pack["state"], pack["alive"], mon_c = run(
+            pack["state"], pack["params"], pack["alive"], n, bc,
+            self._interpret,
         )
-        live = jnp.asarray(idx)
-        self.state = jax.tree.map(
-            lambda full, c: full.at[live].set(c[: len(idx)]),
-            self.state, st_c,
-        )
-        self.alive = self.alive.at[live].set(alive_c[: len(idx)])
-        self._mon_full = jax.tree.map(
-            lambda full, c: full.at[live].set(c[: len(idx)]),
-            self._mon_full, dict(mon_c),
-        )
+        # full-size mirrors stay current each chunk (tiny scatters): alive
+        # for external flag readers, monitors with frozen values for the
+        # dropped cases
+        put = lambda full, c: full.at[pack["live_pad"]].set(c, mode="drop")
+        self._alive = put(self._alive, pack["alive"])
+        self._mon_full = jax.tree.map(put, self._mon_full, dict(mon_c))
         return self._mon_full
 
     def get_moments(self) -> np.ndarray:

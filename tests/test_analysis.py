@@ -91,3 +91,42 @@ def test_video_stats_walk_skip_overwrite(tmp_path):
     # non-video files are ignored, unreadable videos skipped gracefully
     (vis / "junk.mp4").write_bytes(b"not a video")
     assert walk_and_process(str(tmp_path / "outputs")) == 0
+
+
+def test_h5_inspect_tree_and_plots(tmp_path, capsys):
+    """h5_inspect prints every dataset and renders one PNG per quick-look
+    field (reference notebooks viz_result.ipynb / read.ipynb as a CLI)."""
+    from lbm2d_tpu.analysis.h5_inspect import print_structure, render_plots
+
+    rng = np.random.default_rng(4)
+    path = tmp_path / "case.h5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "turbulence",
+            data=rng.normal(0, 1, (3, 9, 16, 24)).astype(np.float32),
+            compression="lzf",
+        )
+        f.create_dataset(
+            "static_mask", data=np.zeros((2, 16, 24), np.float32)
+        )
+        f.create_dataset("sum_vor", data=np.ones((16, 24), np.float32))
+        f.create_dataset(
+            "mean_vel_field", data=np.zeros((9, 16, 24), np.float32)
+        )
+        f.attrs["config_json"] = json.dumps(
+            {"simulation": {"name": "t", "nu": 0.02, "nx": 24, "ny": 16}}
+        )
+        f.attrs["stats_min"] = np.zeros(9, np.float32)
+
+    print_structure(path)
+    out = capsys.readouterr().out
+    for needle in ("turbulence", "(3, 9, 16, 24)", "lzf", "@config_json",
+                   "nu=0.02", "@stats_min"):
+        assert needle in out, needle
+
+    pngs = render_plots(path, tmp_path / "inspect", frame=-1)
+    names = {p.name for p in pngs}
+    # 9 channels of the last frame + mask/sdf + sum_vor + mean jx/jy
+    assert len(pngs) == 14 and all(p.exists() for p in pngs)
+    assert "case_t2_rho.png" in names and "case_sdf.png" in names
+    assert "case_mean_jx.png" in names
