@@ -40,9 +40,17 @@ class LBMEngine:
         mask_yx: Optional[np.ndarray] = None,
         dtype=jnp.float32,
         collide_impl: str = "auto",
+        store_dev: Optional[bool] = None,
     ):
         self.config = config
         sim = config["simulation"]
+        # 16-bit deviation state storage (ops/pallas_step store_dev): halves
+        # HBM f traffic on the fused TPU path at a bounded quantization cost
+        # (lossy -- opt-in via the ``simulation.f16_state`` config key or the
+        # constructor arg). The jnp fallback path ignores it.
+        if store_dev is None:
+            store_dev = bool(sim.get("f16_state", False))
+        self.store_dev = bool(store_dev)
         self.nx, self.ny = int(sim["nx"]), int(sim["ny"])
         self.name = sim.get("name", "case")
         self.nu = float(sim["nu"])
@@ -84,8 +92,9 @@ class LBMEngine:
                     from ..ops.pallas_step import run_chunk_pallas, supports
 
                     if supports(self.params):
+                        sd = self.store_dev
                         return lambda state, p, n: run_chunk_pallas(
-                            state, p, n_steps=n
+                            state, p, n_steps=n, store_dev=sd
                         )
                     if impl == "pallas":
                         raise ValueError(

@@ -104,6 +104,8 @@ class KernelBudgets:
         the 128MB core on v5e).
       * wide_band_rows      -- fast-step band height for >=4096-lane grids
         under wide_limit_bytes (64 rows on v5e).
+      * physical_vmem_bytes -- the core's physical VMEM (feasibility ceiling
+        for per-geometry limits; generous limits are clipped against it).
     """
 
     tile_budget_floats: int
@@ -113,6 +115,7 @@ class KernelBudgets:
     wide_limit_bytes: int
     pipeline_min_bytes: int
     wide_band_rows: int
+    physical_vmem_bytes: int
 
 
 @functools.lru_cache(maxsize=None)
@@ -136,4 +139,5 @@ def budgets_for(spec: TpuSpec) -> KernelBudgets:
         wide_limit_bytes=int(40 * _MB * scale),
         pipeline_min_bytes=int(48 * _MB * scale),
         wide_band_rows=wide_rows,
+        physical_vmem_bytes=spec.vmem_bytes,
     )

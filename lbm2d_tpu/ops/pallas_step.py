@@ -91,6 +91,22 @@ _PIPELINE_MIN_BYTES = None
 _FUSE_STEPS = None
 _FUSE_BH = None
 
+# 16-bit deviation-storage default (None/False = off; True = on where
+# eligible): the split-BC fast steps keep the HBM f buffer as 16-bit
+# deviations (f_k - w_k) -- half the f traffic for the bandwidth-bound
+# beyond-VMEM tier -- while every arithmetic op stays f32. Lossy
+# (quantization noise per step, see _step_kernel), so it is OPT-IN: callers
+# pass run_chunk_pallas(store_dev=True) or tests/benches set this override;
+# production datagen keeps exact-f32 state unless explicitly enabled.
+_STORE_DEV = None
+
+# bfloat16, not float16: Mosaic rejects IEEE f16 outright ("Unsupported type
+# in mosaic dialect: 'f16'" on this libtpu) -- bf16 is the TPU-native 16-bit
+# float. Its 8-bit mantissa costs ~3 decimal digits relative; storing the
+# DEVIATION keeps the absolute noise ~|dev|/512 ~ 1e-4 per step instead of
+# the ~1e-3 raw-f would give. Tests pin the accumulated error budget.
+_DEV_DTYPE = jnp.bfloat16
+
 
 def _pipeline_min_bytes():
     if _PIPELINE_MIN_BYTES is not None:
@@ -98,7 +114,9 @@ def _pipeline_min_bytes():
     return budgets().pipeline_min_bytes
 
 
-def _vmem_limit(Hp, Wp, BW, PX, export, ec_w, pipelined=False, BH=0):
+def _vmem_limit(Hp, Wp, BW, PX, export, ec_w, pipelined=False, BH=0, isz=4):
+    """``isz``: f storage itemsize (2 under 16-bit deviation storage -- the
+    two-slot band scratch halves; the f32 compute temps do not)."""
     b = budgets()
     limit = b.base_limit_bytes
     if export:
@@ -106,12 +124,26 @@ def _vmem_limit(Hp, Wp, BW, PX, export, ec_w, pipelined=False, BH=0):
     if BW + 2 * PX >= 4096:
         limit = max(limit, b.wide_limit_bytes)  # taller bands at 4096 lanes
     if pipelined:
-        # two-slot band scratch + ~16 temp planes + export strips + slack
+        # two-slot band scratch + ~16 temp planes + export strips + slack,
+        # sized as if the scratch were f32 EVEN under 16-bit deviation
+        # storage: shrinking the limit to the true bf16 need (85MB at
+        # 4096^2/BH=128) measured 7.4k MLUPS where the generous f32-sized
+        # limit (123MB) measured 10.1k -- the allowance evidently also buys
+        # Mosaic/XLA scheduling headroom, not just the declared scratch.
+        # ``isz`` still guards feasibility: if even the generous figure
+        # exceeds physical VMEM, scale it by the true scratch ratio.
         need = (
             4 * (18 * (BH + 2 * PY) + 18 * BH + 16 * BH) * (BW + 2 * PX)
             + 4 * (3 * Hp * ec_w + 48 * Wp)
             + 8 * _MB
         )
+        if need > b.physical_vmem_bytes and isz < 4:
+            need = (
+                (2 * isz * 9 * (BH + 2 * PY) + 2 * isz * 9 * BH + 64 * BH)
+                * (BW + 2 * PX)
+                + 4 * (3 * Hp * ec_w + 48 * Wp)
+                + 8 * _MB
+            )
         limit = max(limit, need)
     return limit
 
@@ -199,7 +231,8 @@ def _pick_tiles(h: int, w: int, extra: int = 0):
     return max(16, bh), max(8, bh // 2), bw, px
 
 
-def _pick_split_tiles(h: int, w: int, px: int = 0, extra: int = 0):
+def _pick_split_tiles(h: int, w: int, px: int = 0, extra: int = 0,
+                      dev: bool = False):
     """(BH, BW, PX) for split-BC fast steps: without the in-kernel BC
     branches the kernel holds ~19 live f32 planes per band row (measured on
     v5e; BH=128 fastest at 1024^2, BH=256 OOMs at ~19M), so bands can be
@@ -229,7 +262,18 @@ def _pick_split_tiles(h: int, w: int, px: int = 0, extra: int = 0):
         # (_vmem_limit) so 64-row bands fit on a 128MB-VMEM core; 128-row
         # bands need a ~72MB limit, deep in the range that strangles XLA's
         # workspace, for +1%
-        return min(b.wide_band_rows, _round_up(h, 16)), bw, px
+        rows = b.wide_band_rows
+        if dev and bw == 4096 and h >= 4096 and h % 128 == 0:
+            # measured on v5e (16-bit deviation storage): the 4096^2 grid
+            # at 64-row bands runs ~45% below the per-cell rate of every
+            # neighbouring shape (2048x4096, 4096x2048, 4736x2560 all hit
+            # ~90-100 us/Mcell; 4096^2 sat at 133); 128-row bands -- which
+            # only the halved 16-bit scratch makes affordable at 4096 lanes
+            # -- restore it (7556 -> 10134 MLUPS). Every neighbouring shape
+            # LOSES a few % at BH=128 (and 4736 lanes OOMs), so the bump is
+            # gated to exactly this pathological geometry.
+            rows = 128
+        return min(rows, _round_up(h, 16)), bw, px
     # cap 128: with the single packed-aux blocked input (saves 2 pipeline
     # buffers, ~1MB at BH=128) 128-row bands fit scoped VMEM even in
     # programs that inline several chunk calls (the fused batch runner);
@@ -241,12 +285,17 @@ def _pick_split_tiles(h: int, w: int, px: int = 0, extra: int = 0):
     return max(16, bh), bw, px
 
 
-def _stream_band(scratch_in, BH: int, BW: int, PX: int):
+def _stream_band(scratch_in, BH: int, BW: int, PX: int, dequant: bool = False):
     """Pull streaming for one tile: y via halo-row slices; x via halo-column
     slices when a real x-halo exists (PX > 0), else via lane rolls whose
     wrap-around only corrupts the global ring columns 0 / W-1.
 
     scratch_in: [9, BH + 2*PY, BW + 2*PX], tile cells at (PY, PX).
+
+    ``dequant`` (16-bit deviation storage): scratch holds (f_k - w_k) as
+    _DEV_DTYPE; convert each plane to f32 and add the weight back BEFORE the
+    lane roll -- Mosaic's dynamic_rotate only exists for 32-bit data, and a
+    scalar add commutes with the rotation anyway.
     """
     fs = []
     for k in range(9):
@@ -255,8 +304,12 @@ def _stream_band(scratch_in, BH: int, BW: int, PX: int):
             plane = scratch_in[
                 k, PY - ey : PY - ey + BH, PX - ex : PX - ex + BW
             ]
+            if dequant:
+                plane = plane.astype(jnp.float32) + float(W[k])
         else:
             plane = scratch_in[k, PY - ey : PY - ey + BH, :]
+            if dequant:
+                plane = plane.astype(jnp.float32) + float(W[k])
             if ex:
                 # pltpu.roll needs non-negative shifts; -1 == BW - 1 (circular)
                 plane = pltpu.roll(plane, shift=ex % BW, axis=1)
@@ -804,9 +857,17 @@ def _step_kernel(
     pipelined: bool = False,
     NPROG: int = 0,
     bounce: bool = False,
+    store_dev: bool = False,
 ):
     """Each program owns one (BH, BW) tile: DMA the halo window in, compute
     the full update, DMA the tile out.
+
+    ``store_dev`` (16-bit deviation storage): the HBM f buffer holds
+    ``(f_k - w_k)`` as bfloat16 (_DEV_DTYPE) -- half the HBM traffic for
+    the bandwidth-bound beyond-VMEM tier -- while all arithmetic stays f32.
+    Subtracting the lattice weight first keeps the stored value O(Ma)
+    instead of O(1): the quantization error is relative to the small
+    deviation (~|dev|/512 per step), not to the O(1) population.
 
     ``pipelined`` (wide beyond-VMEM grids, single column tile): two-slot
     scratch with cross-program software pipelining -- program i prefetches
@@ -902,7 +963,7 @@ def _step_kernel(
                 def _(r=r, ref_=ref_):
                     scratch_in[:, r, :] = ref_[:, 0, :]
 
-    fs = _stream_band(scratch_in, BH, BW, PX)
+    fs = _stream_band(scratch_in, BH, BW, PX, dequant=store_dev)
     if nbb_ref is not None and q_ref is None:
         # half-way bounce-back: pulls whose source cell is solid return this
         # cell's own opposite previous population (already in the window's
@@ -1050,6 +1111,14 @@ def _step_kernel(
     # reference (apply_bc tail, LBM2D_MRT_LES.py:452-455)
     f_eq_rest = jnp.stack([rho * float(W[k]) for k in range(9)])
 
+    def _to_store(arr):
+        # deviation storage: quantize on the way out (f32 -> 16-bit dev)
+        if store_dev:
+            return jnp.stack(
+                [(arr[k] - float(W[k])).astype(_DEV_DTYPE) for k in range(9)]
+            )
+        return arr
+
     if pipelined:
         slot = jax.lax.rem(i, jnp.int32(2))
 
@@ -1066,8 +1135,8 @@ def _step_kernel(
         def _():
             store_for(i - 2, slot).wait()
 
-        scratch_out[:] = f_new if bounce else jnp.where(
-            solid[None], f_eq_rest, f_new
+        scratch_out[:] = _to_store(
+            f_new if bounce else jnp.where(solid[None], f_eq_rest, f_new)
         )
         if rho_ref is not None:
             rho_ref[:] = rho
@@ -1084,8 +1153,8 @@ def _step_kernel(
         def _():
             store_for(i - 1, 1 - slot).wait()
     else:
-        scratch_out[:] = f_new if bounce else jnp.where(
-            solid[None], f_eq_rest, f_new
+        scratch_out[:] = _to_store(
+            f_new if bounce else jnp.where(solid[None], f_eq_rest, f_new)
         )
         if rho_ref is not None:
             rho_ref[:] = rho
@@ -1105,13 +1174,13 @@ def _step_kernel(
     jax.jit,
     static_argnames=(
         "dims", "use_les", "bc_type", "full", "interpret", "apply_bc",
-        "bounce",
+        "bounce", "store_dev",
     ),
 )
 def _pallas_step(
     fp, aux_p, scalars, offs, h_lo, h_hi, dims, use_les, bc_type,
     full, interpret, apply_bc=True, ec_buf=None, er_buf=None, bounce=False,
-    nbb_p=None, q_p=None,
+    nbb_p=None, q_p=None, store_dev=False,
 ):
     """One fused lattice update. dims = (Hg, Wg, HL, WL, Hp, Wp, BH, BW, PX);
     single-chip passes HL == Hg, WL == Wg and offs None; the sharded path
@@ -1127,6 +1196,11 @@ def _pallas_step(
     halfway = nbb_p is not None  # half-way/Bouzidi neighbor-solid bit plane
     bouzidi = q_p is not None  # Bouzidi wall-fraction planes present
     export = not apply_bc  # split-BC edge-macro export
+    if store_dev:
+        assert export and not (full or halfway or bouzidi or halo)
+    # exported macros / full-step outputs stay f32 under 16-bit deviation
+    # storage (quantizing rho would flip data-dependent BC branches)
+    edtype = jnp.float32 if store_dev else dtype
 
     out_shape = [jax.ShapeDtypeStruct(fp.shape, dtype)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
@@ -1135,8 +1209,8 @@ def _pallas_step(
         # 128-lane plane (see _step_kernel export block)
         ec_w = 128 if (WL - 1) // BW == 0 else 256
         out_shape += [
-            jax.ShapeDtypeStruct((3, Hp, ec_w), dtype),
-            jax.ShapeDtypeStruct((3, 16, Wp), dtype),
+            jax.ShapeDtypeStruct((3, Hp, ec_w), edtype),
+            jax.ShapeDtypeStruct((3, 16, Wp), edtype),
         ]
         out_specs += [
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -1145,7 +1219,7 @@ def _pallas_step(
     # software-pipelined two-slot mode for wide beyond-VMEM grids (single
     # column tile; the small-grid "VMEM-resident" tier gains nothing)
     nprog = Hp // BH
-    fp_bytes = 4 * 9 * (Hp + 2 * PY) * (Wp + 2 * PX)
+    fp_bytes = fp.dtype.itemsize * 9 * (Hp + 2 * PY) * (Wp + 2 * PX)
     pipelined = (
         export and PX == 0 and grid[1] == 1
         and fp_bytes >= _pipeline_min_bytes()
@@ -1154,6 +1228,7 @@ def _pallas_step(
         Hg=Hg, Wg=Wg, HL=HL, WL=WL, BH=BH, BW=BW, PX=PX,
         use_les=use_les, bc_type=bc_type, apply_bc=apply_bc,
         pipelined=pipelined, NPROG=nprog, bounce=bounce,
+        store_dev=store_dev,
     )
     if full:
         out_shape += [
@@ -1264,7 +1339,8 @@ def _pallas_step(
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(
-                Hp, Wp, BW, PX, export, ec_w if export else 0, pipelined, BH
+                Hp, Wp, BW, PX, export, ec_w if export else 0, pipelined, BH,
+                isz=fp.dtype.itemsize,
             )
         ),
         scratch_shapes=(
@@ -1279,7 +1355,7 @@ def _pallas_step(
             ]
         )
         + (
-            [pltpu.VMEM((3, BH, 128), dtype), pltpu.VMEM((3, 8, BW), dtype)]
+            [pltpu.VMEM((3, BH, 128), edtype), pltpu.VMEM((3, 8, BW), edtype)]
             if export
             else []
         )
@@ -1328,6 +1404,7 @@ def _edge_bc_kernel(
     nch: int,
     bc_type,
     bounce: bool = False,
+    store_dev: bool = False,
 ):
     """Boundary-ring rewrite as a separate tiny kernel (split-BC mode).
 
@@ -1413,6 +1490,10 @@ def _edge_bc_kernel(
             cp.wait()
 
         f = s_col[:]
+        if store_dev:
+            f = jnp.stack(
+                [f[k].astype(jnp.float32) + w9[k] for k in range(9)]
+            )
         mac = s_mc[:]
         rho, ux, uy = mac[0], mac[1], mac[2]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (CH, 128), 0)
@@ -1457,12 +1538,17 @@ def _edge_bc_kernel(
         # identical f_eq, and with the combined ec layout the non-edge lanes
         # of mac belong to the OTHER side)
         if bounce:
-            s_col[:] = f
+            out = f
         else:
             solid, _ = _unpack_aux(m_col[:])
             solid = solid & (col_ids == (0 if left else 127))
             f_eq_rest = jnp.stack([rho * wk for wk in w9])
-            s_col[:] = jnp.where(solid[None], f_eq_rest, f)
+            out = jnp.where(solid[None], f_eq_rest, f)
+        if store_dev:
+            out = jnp.stack(
+                [(out[k] - w9[k]).astype(_DEV_DTYPE) for k in range(9)]
+            )
+        s_col[:] = out
         store = pltpu.make_async_copy(
             s_col, fp_out_hbm.at[:, pl.ds(PY + g0, CH), pl.ds(x0, 128)], sem_a
         )
@@ -1513,6 +1599,10 @@ def _edge_bc_kernel(
             cp.wait()
 
         f = s_rows[:]
+        if store_dev:
+            f = jnp.stack(
+                [f[k].astype(jnp.float32) + w9[k] for k in range(9)]
+            )
         mac = s_mr[:]
         f_nb = f[:, nb_r, :]  # [9, Wp]
         bcv = jnp.stack([scal_ref[0, bcv_off], scal_ref[0, bcv_off + 1]])
@@ -1530,11 +1620,16 @@ def _edge_bc_kernel(
         rho = jnp.where(m, rho_b[None, :], mac[0])
 
         if bounce:
-            s_rows[:] = f
+            out = f
         else:
             solid, _ = _unpack_aux(m_rows[:])
             f_eq_rest = jnp.stack([rho * wk for wk in w9])
-            s_rows[:] = jnp.where(solid[None], f_eq_rest, f)
+            out = jnp.where(solid[None], f_eq_rest, f)
+        if store_dev:
+            out = jnp.stack(
+                [(out[k] - w9[k]).astype(_DEV_DTYPE) for k in range(9)]
+            )
+        s_rows[:] = out
         store = pltpu.make_async_copy(
             s_rows, fp_out_hbm.at[:, pl.ds(r0, 8), pl.ds(PXs, Wp)], sem_a
         )
@@ -1569,11 +1664,12 @@ def _edge_bc_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("edims", "bc_type", "interpret", "bounce")
+    jax.jit,
+    static_argnames=("edims", "bc_type", "interpret", "bounce", "store_dev"),
 )
 def _edge_bc_step(
     fp, aux_p, ec, er, scalars, edims, bc_type, interpret, offs=None,
-    bounce=False,
+    bounce=False, store_dev=False,
 ):
     """Apply the boundary ring in place on the padded buffer (aliased I/O).
     edims = (H, W, Hp, Wp, PXs, Hg, Wg) with H/W the LOCAL block dims and
@@ -1581,7 +1677,9 @@ def _edge_bc_step(
     kernel's exported collide macros on the edge strips. ``offs`` carries
     the shard origin under shard_map (rows-only or 2D decomposition)."""
     H, W_, Hp, Wp, PXs, Hg, Wg = edims
-    dtype = fp.dtype
+    dtype = fp.dtype  # storage dtype (16-bit under deviation storage)
+    edtype = er.dtype  # macro-export dtype (always f32)
+    adtype = aux_p.dtype  # packed damp+mask dtype (always f32)
     H8 = _round_up(H, 8)
     CH = min(_EDGE_CH, H8)
     nch = -(-H // CH)
@@ -1595,7 +1693,7 @@ def _edge_bc_step(
         _edge_bc_kernel(
             scal, offs_r, *rest,
             H=H, Hg=Hg, H8=H8, W_=W_, Wg=Wg, Wp=Wp, PXs=PXs, CH=CH, nch=nch,
-            bc_type=bc_type, bounce=bounce,
+            bc_type=bc_type, bounce=bounce, store_dev=store_dev,
         )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -1619,7 +1717,7 @@ def _edge_bc_step(
         ],
         out_shape=[
             jax.ShapeDtypeStruct(fp.shape, dtype),
-            jax.ShapeDtypeStruct(er.shape, dtype),
+            jax.ShapeDtypeStruct(er.shape, edtype),
         ],
         input_output_aliases={2 if sharded else 1: 0, 5 if sharded else 4: 1},
         compiler_params=pltpu.CompilerParams(
@@ -1629,11 +1727,11 @@ def _edge_bc_step(
         scratch_shapes=[
             pltpu.VMEM((9, CH, 128), dtype),
             pltpu.VMEM((9, 8, Wp), dtype),
-            pltpu.VMEM((3, CH, 128), dtype),
-            pltpu.VMEM((3, 8, Wp), dtype),
-            pltpu.VMEM((CH, 128), dtype),
-            pltpu.VMEM((8, Wp), dtype),
-            pltpu.VMEM((2, 3, 8, 128), dtype),
+            pltpu.VMEM((3, CH, 128), edtype),
+            pltpu.VMEM((3, 8, Wp), edtype),
+            pltpu.VMEM((CH, 128), adtype),
+            pltpu.VMEM((8, Wp), adtype),
+            pltpu.VMEM((2, 3, 8, 128), edtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -1665,11 +1763,12 @@ def _scalars(p: CaseParams, step, dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_steps", "interpret", "tiles", "split_bc")
+    jax.jit,
+    static_argnames=("n_steps", "interpret", "tiles", "split_bc", "store_dev"),
 )
 def run_chunk_pallas(
     state: LBMState, p: CaseParams, n_steps: int, interpret: bool = False,
-    tiles=None, split_bc=None,
+    tiles=None, split_bc=None, store_dev=None,
 ):
     """Advance n_steps with the fused kernel; same contract as run_chunk.
 
@@ -1683,6 +1782,11 @@ def run_chunk_pallas(
     grids (> 2048 lanes) run the fast steps on 1024-lane column tiles with a
     real 128-lane x-halo. The closing full step always uses the in-kernel-BC
     full-width variant.
+
+    ``store_dev``: 16-bit deviation storage for the fast steps (see
+    _STORE_DEV). Lossy, opt-in; requires the split-BC path and a plain
+    (equilibrium overwrite or full-way bounce) obstacle scheme. None =
+    module default.
     """
     if not supports(p):
         raise ValueError(f"bc_type {p.bc_type} unsupported by the fused kernel")
@@ -1703,8 +1807,17 @@ def run_chunk_pallas(
     # uses the full-width _pick_tiles geometry
     BW_s, PX_s = BW, PX
     fuse_S = 0
+    if store_dev is None:
+        store_dev = _STORE_DEV
+    store_dev = bool(
+        store_dev and split_bc and n_steps > 1
+        and not (_FUSE_STEPS and _FUSE_STEPS > 1)
+        and not (p.halfway_obstacle or p.bouzidi_obstacle)
+    )
     if split_bc and tiles is None:
-        bh_fast, BW_s, PX_s = _pick_split_tiles(H, W_, extra=q_extra)
+        bh_fast, BW_s, PX_s = _pick_split_tiles(
+            H, W_, extra=q_extra, dev=store_dev
+        )
         # temporal blocking (beyond-VMEM tier): S fused steps per HBM pass.
         # Eligibility mirrors the pipelined tier -- full-width single column
         # tile and a padded f too large to stay VMEM-resident.
@@ -1721,6 +1834,7 @@ def run_chunk_pallas(
                 # one Hp granularity serves the fused, split-remainder and
                 # closing-full kernels
                 bh_fast = min(bh_fast, bh_f)
+    assert not (store_dev and fuse_S > 1)
     Wp = _round_up(W_, BW)
     Wp_s = _round_up(W_, BW_s)
     Hp = _round_up(H, bh_fast)
@@ -1740,6 +1854,13 @@ def run_chunk_pallas(
     fp = jnp.pad(
         state.f, ((0, 0), (PY, PY + (Hp - H)), (PX_s, PX_s + (Wp_s - W_)))
     )
+    if store_dev:
+        # quantize once per chunk: the fast steps carry 16-bit deviations
+        # (f_k - w_k); the chunk-closing full step dequantizes back to f32.
+        # Pad cells round-trip to ~1e-3*w instead of exact 0 -- they only
+        # feed the boundary ring, which the edge kernel rewrites every step.
+        w_col = jnp.asarray(np.asarray(W, np.float32)).reshape(9, 1, 1)
+        fp = (fp - w_col).astype(_DEV_DTYPE)
     aux = pack_aux(p.damping, p.mask)
     aux_s = jnp.pad(aux, ((0, Hp - H), (0, Wp_s - W_)))
     nbb = (
@@ -1771,11 +1892,11 @@ def run_chunk_pallas(
                 fp, aux_s, scal, None, None, None, dims_fast,
                 p.use_les, p.bc_type, False, interpret, False,
                 ec_buf=ec, er_buf=er, bounce=p.bounce_obstacle, nbb_p=nbb_s,
-                q_p=qp_s,
+                q_p=qp_s, store_dev=store_dev,
             )
             fp_new = _edge_bc_step(
                 fp_new, aux_s, ec, er, scal, edims, p.bc_type, interpret,
-                bounce=p.bounce_obstacle,
+                bounce=p.bounce_obstacle, store_dev=store_dev,
             )
         else:
             (fp_new,) = _pallas_step(
@@ -1820,6 +1941,9 @@ def run_chunk_pallas(
         if n_steps > 1:
             carry, _ = jax.lax.scan(fast_body, carry, None, length=n_steps - 1)
         fp, _, _, step = carry
+    if store_dev:
+        # dequantize for the chunk-closing full step (exact-f32 from here on)
+        fp = fp.astype(jnp.float32) + w_col
     step = step + 1
     scal = _scalars(p, step, dtype)
     if (PX_s, Wp_s) != (PX, Wp):

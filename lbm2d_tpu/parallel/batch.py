@@ -115,7 +115,8 @@ def run_chunk_batched(
     return _chunk_lockstep(state, p, alive, n_steps)
 
 
-def _chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret):
+def _chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret,
+                      store_dev=False):
     """Sequential-Pallas chunk body (traceable; shared by jit and shard_map).
 
     Advances B cases one after another through the fused Pallas kernel
@@ -140,14 +141,16 @@ def _chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret):
             new_i = jax.lax.cond(
                 alive[i],
                 lambda s, pp=p_i: run_chunk_pallas(
-                    s, pp, n_steps=n_steps, interpret=interpret
+                    s, pp, n_steps=n_steps, interpret=interpret,
+                    store_dev=store_dev,
                 )[0],
                 lambda s: s,
                 st_i,
             )
         else:
             new_i, _ = run_chunk_pallas(
-                st_i, p_i, n_steps=n_steps, interpret=interpret
+                st_i, p_i, n_steps=n_steps, interpret=interpret,
+                store_dev=store_dev,
             )
             new_i = jax.tree.map(
                 lambda n, o: jnp.where(alive[i], n, o), new_i, st_i
@@ -170,7 +173,7 @@ def _chunk_sequential(state_b, p_b, alive, n_steps, batch, interpret):
 
 
 _run_chunk_sequential = functools.partial(jax.jit, static_argnames=(
-    "n_steps", "batch", "interpret"
+    "n_steps", "batch", "interpret", "store_dev"
 ))(_chunk_sequential)
 
 # TPU variant donating the input state: the chunk's stacked output then
@@ -180,7 +183,7 @@ _run_chunk_sequential = functools.partial(jax.jit, static_argnames=(
 # that sum OOMed a 16GB v5e. Kept separate from the portable jit because
 # CPU (the test platform) does not implement donation and warns on it.
 _run_chunk_sequential_donated = functools.partial(jax.jit, static_argnames=(
-    "n_steps", "batch", "interpret"
+    "n_steps", "batch", "interpret", "store_dev"
 ), donate_argnums=(0,))(_chunk_sequential)
 
 
@@ -206,10 +209,13 @@ def _scatter_compact(full_state, full_alive, compact_state, compact_alive,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "mesh", "local_b", "interpret", "sequential"),
+    static_argnames=(
+        "n_steps", "mesh", "local_b", "interpret", "sequential", "store_dev"
+    ),
 )
 def _run_chunk_case_sharded(
-    state_b, p_b, alive, n_steps, mesh, local_b, interpret, sequential
+    state_b, p_b, alive, n_steps, mesh, local_b, interpret, sequential,
+    store_dev=False,
 ):
     """Advance B cases over a 1-D device mesh: each device owns B/D cases.
 
@@ -227,7 +233,9 @@ def _run_chunk_case_sharded(
 
     def shard_body(st, p, al):
         if sequential:
-            return _chunk_sequential(st, p, al, n_steps, local_b, interpret)
+            return _chunk_sequential(
+                st, p, al, n_steps, local_b, interpret, store_dev
+            )
         return _chunk_lockstep(st, p, al, n_steps)
 
     b_spec = P("cases")
@@ -290,10 +298,18 @@ class BatchEngine:
         dtype=jnp.float32,
         runner: str = "auto",
         n_devices: Optional[int] = None,
+        store_dev: Optional[bool] = None,
     ):
         if len(configs) != len(masks_yx):
             raise ValueError("configs and masks must align")
         self.configs = list(configs)
+        # 16-bit deviation state storage on the fused TPU path (lossy,
+        # opt-in; see ops/pallas_step store_dev). Config key or ctor arg.
+        if store_dev is None:
+            store_dev = bool(
+                configs[0]["simulation"].get("f16_state", False)
+            )
+        self._store_dev = bool(store_dev)
         sim0 = configs[0]["simulation"]
         self.ny, self.nx = int(sim0["ny"]), int(sim0["nx"])
         self.batch = len(configs)
@@ -362,6 +378,7 @@ class BatchEngine:
                 self.state, self.params, self.alive, n_steps=n,
                 mesh=self.mesh, local_b=self._local_b,
                 interpret=self._interpret, sequential=self._sequential,
+                store_dev=self._store_dev,
             )
         elif self._sequential:
             mon = self._run_step_sequential(n)
@@ -486,7 +503,7 @@ class BatchEngine:
             self._unpack()
             self.state, self.alive, mon = run(
                 self._state, self.params, self._alive, n, self.batch,
-                self._interpret,
+                self._interpret, self._store_dev,
             )
             self._mon_full = mon
             return mon
@@ -527,7 +544,7 @@ class BatchEngine:
         pack = self._pack
         pack["state"], pack["alive"], mon_c = run(
             pack["state"], pack["params"], pack["alive"], n, bc,
-            self._interpret,
+            self._interpret, self._store_dev,
         )
         # full-size mirrors stay current each chunk (tiny scatters): alive
         # for external flag readers, monitors with frozen values for the

@@ -103,8 +103,14 @@ def run_lockstep_group(
     f16_transfer: bool = False,
     video: bool = True,
     fetch_overlap: bool = True,
+    f16_state: bool = False,
 ) -> List[Dict[str, Any]]:
     """Run one same-shape group in lockstep; returns per-case summary entries.
+
+    ``f16_state`` keeps the solver's HBM f buffer as 16-bit deviations
+    between monitor steps (ops/pallas_step store_dev): ~55% more solver
+    throughput at production grid sizes for a bounded quantization cost
+    (lossy -- opt-in; the downstream zarr dataset is f16 anyway).
 
     ``f16_transfer`` casts the saved moment frames to float16 ON DEVICE
     before the device->host fetch, halving transfer bytes. The HDF5 stays
@@ -191,7 +197,8 @@ def run_lockstep_group(
             recorders[b] = rec
 
     engine = BatchEngine(
-        [cfg for _, cfg in members], masks, runner=runner, n_devices=n_devices
+        [cfg for _, cfg in members], masks, runner=runner,
+        n_devices=n_devices, store_dev=f16_state or None,
     )
     n_cases = len(members)
 
@@ -519,6 +526,7 @@ def run_batched(
     f16_transfer: bool = False,
     video: bool = True,
     fetch_overlap: bool = True,
+    f16_state: bool = False,
 ) -> Dict[str, int]:
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -551,7 +559,7 @@ def run_batched(
         entries = run_lockstep_group(
             members, project_paths, output_dirs, progress, device_resize,
             runner=runner, n_devices=n_devices, f16_transfer=f16_transfer,
-            video=video, fetch_overlap=fetch_overlap,
+            video=video, fetch_overlap=fetch_overlap, f16_state=f16_state,
         )
         for entry in entries:
             fname = entry["config_filename"]
@@ -605,6 +613,12 @@ def main() -> None:
         "(halves transfer bytes; the downstream zarr dataset is f16 anyway)",
     )
     ap.add_argument(
+        "--f16_state", action="store_true",
+        help="keep the solver state as 16-bit deviations in HBM between "
+        "monitor steps (~55%% more solver throughput at production sizes; "
+        "lossy -- bounded quantization noise, see ops/pallas_step)",
+    )
+    ap.add_argument(
         "--no_video", action="store_true",
         help="skip the device-rendered per-case mp4 (outputs.video config "
         "is honored when omitted)",
@@ -621,7 +635,7 @@ def main() -> None:
         device_resize=args.device_resize,
         runner=args.runner, n_devices=args.n_devices,
         f16_transfer=args.f16_transfer, video=not args.no_video,
-        fetch_overlap=not args.fetch_at_idle,
+        fetch_overlap=not args.fetch_at_idle, f16_state=args.f16_state,
     )
 
 

@@ -269,6 +269,76 @@ def test_dfg_modes_in_kernel_match_jnp():
     )
 
 
+def test_store_dev_f16_close_to_f32(monkeypatch):
+    """f16 deviation storage (store_dev): the split-BC fast steps keep the
+    HBM f buffer as float16 (f_k - w_k) while computing in f32. Lossy by
+    design -- the contract is a bounded quantization error vs the exact-f32
+    path (~1e-5/step absolute), not bitwise equality. Covers both the plain
+    split-BC path and the pipelined halo-carry path (the production 4096^2
+    schedule), which also exercises the donated-f16-buffer aliasing."""
+    import lbm2d_tpu.ops.pallas_step as ps
+
+    nx, ny = 128, 64
+    cfg = cfg_grid(nx, ny)
+    mask = block_mask(ny, nx)
+    p = make_params(cfg, mask)
+    ref, ref_mon = run_chunk(init_state(ny, nx), p, 12)
+
+    for pipelined in (False, True):
+        if pipelined:
+            monkeypatch.setattr(ps, "_PIPELINE_MIN_BYTES", 1)
+        out, mon = ps.run_chunk_pallas(
+            init_state(ny, nx), p, n_steps=12, interpret=True,
+            split_bc=True, store_dev=True,
+        )
+        f_err = np.max(np.abs(np.asarray(out.f) - np.asarray(ref.f)))
+        # must actually have quantized (not silently fallen back to f32) ...
+        assert f_err > 0, f"store_dev path inactive (pipelined={pipelined})"
+        # ... and stay within the accumulated-quantization-noise budget
+        np.testing.assert_allclose(
+            np.asarray(out.f), np.asarray(ref.f), rtol=0, atol=5e-4,
+            err_msg=f"pipelined={pipelined}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.u), np.asarray(ref.u), rtol=0, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.rho), np.asarray(ref.rho), rtol=0, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            float(mon["max_v"]), float(ref_mon["max_v"]), atol=5e-4
+        )
+        assert int(out.step) == 12
+
+
+def test_store_dev_ineligible_falls_back_exact():
+    """store_dev silently degrades to exact f32 when the obstacle scheme
+    needs raw stored populations (half-way bounce-back reads neighbours'
+    previous-step f): the flag must not corrupt those paths."""
+    from lbm2d_tpu.core.solver import BC_VEL_INLET
+
+    nx, ny = 128, 48
+    cfg = cfg_grid(nx, ny)
+    cfg["boundary_condition"] = {
+        "type": [3, 0, 1, 0],
+        "value": [[0.08, 0.0]] + [[0.0, 0.0]] * 3,
+        "obstacle": "bounce_back_halfway",
+    }
+    mask = np.zeros((ny, nx), np.float32)
+    mask[0, :] = 1.0
+    mask[-1, :] = 1.0
+    mask[20:28, 30:38] = 1.0
+    p = make_params(cfg, mask)
+    assert p.bc_type[0] == BC_VEL_INLET and p.halfway_obstacle
+    ref, _ = run_chunk(init_state(ny, nx), p, 9)
+    out, _ = run_chunk_pallas(
+        init_state(ny, nx), p, n_steps=9, interpret=True, store_dev=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.f), np.asarray(ref.f), rtol=0, atol=1e-7
+    )
+
+
 def test_nebb_inlet_in_kernel_matches_jnp():
     """bc type 4 (NEBB profiled velocity inlet -- the DFG configuration that
     lands the literature-exact coefficients) through the fused kernel: both

@@ -201,6 +201,28 @@ def test_batch_sequential_pallas_matches_vmap():
     np.testing.assert_allclose(be_p.get_moments()[0], be_v.get_moments()[0], atol=1e-5)
 
 
+def test_batch_sequential_store_dev_close_to_f32():
+    """BatchEngine(store_dev=True): the sequential path keeps the HBM f
+    buffer as 16-bit deviations between chunks. Lossy by contract -- bounded
+    quantization noise vs the exact run, and the flag must actually engage
+    (128-lane grid so the split-BC path is eligible)."""
+    nx, ny = 128, 32
+    cfgs = [grid_config(nx, ny, rho_in=1.02), grid_config(nx, ny, rho_in=1.03)]
+    masks = [block_mask(ny, nx), block_mask(ny, nx)]
+
+    be_ref = BatchEngine(cfgs, masks, runner="pallas")
+    be_dev = BatchEngine(cfgs, masks, runner="pallas", store_dev=True)
+    assert be_dev._store_dev and not be_ref._store_dev
+    for _ in range(2):
+        be_ref.run_step(8)
+        be_dev.run_step(8)
+    f_ref = np.asarray(be_ref.state.f)
+    f_dev = np.asarray(be_dev.state.f)
+    assert np.abs(f_dev - f_ref).max() > 0, "store_dev path inactive"
+    np.testing.assert_allclose(f_dev, f_ref, rtol=0, atol=5e-4)
+    assert (be_dev.alive_mask == be_ref.alive_mask).all()
+
+
 def test_batch_divergence_freezes_only_bad_case():
     nx, ny = 48, 24
     good = grid_config(nx, ny, rho_in=1.02)

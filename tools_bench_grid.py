@@ -2,8 +2,10 @@
 
 Usage: python tools_bench_grid.py NY NX [chunks] [steps_per_chunk]
 Prints MLUPS for the split-BC fused kernel at the given grid.
+STORE_DEV=1 enables f16 deviation storage for the fast steps.
 """
 
+import os
 import sys
 import time
 
@@ -14,6 +16,11 @@ def main() -> None:
     ny, nx = int(sys.argv[1]), int(sys.argv[2])
     n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     spc = int(sys.argv[4]) if len(sys.argv) > 4 else 100
+    store_dev = os.environ.get("STORE_DEV", "") == "1" or None
+    # TILES="bh_fast,bh_full,bw,px" forces the tile geometry (+ split_bc)
+    tiles = os.environ.get("TILES")
+    tiles = tuple(int(t) for t in tiles.split(",")) if tiles else None
+    split = True if tiles else None
 
     from __graft_entry__ import _cylinder_mask, _demo_config
     from lbm2d_tpu.core.solver import init_state, make_params
@@ -30,13 +37,19 @@ def main() -> None:
     print(f"setup {time.perf_counter() - t_setup:.1f}s", flush=True)
     t_setup = time.perf_counter()
     for _ in range(3):
-        state, mon = run_chunk(state, p, n_steps=spc)
+        state, mon = run_chunk(
+            state, p, n_steps=spc, store_dev=store_dev, tiles=tiles,
+            split_bc=split,
+        )
     sync(mon)
     print(f"warmup+compile {time.perf_counter() - t_setup:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        state, mon = run_chunk(state, p, n_steps=spc)
+        state, mon = run_chunk(
+            state, p, n_steps=spc, store_dev=store_dev, tiles=tiles,
+            split_bc=split,
+        )
     sync(mon)
     dt = time.perf_counter() - t0
     total = n_chunks * spc
