@@ -1197,7 +1197,10 @@ def _pallas_step(
     bouzidi = q_p is not None  # Bouzidi wall-fraction planes present
     export = not apply_bc  # split-BC edge-macro export
     if store_dev:
-        assert export and not (full or halfway or bouzidi or halo)
+        # sharded halo rows (h_lo/h_hi) are allowed: they are extracted from
+        # the stored (16-bit) buffer and patched into the like-typed scratch
+        # before the dequantizing stream -- ICI halo bytes halve for free
+        assert export and not (full or halfway or bouzidi)
     # exported macros / full-step outputs stay f32 under 16-bit deviation
     # storage (quantizing rho would flip data-dependent BC branches)
     edtype = jnp.float32 if store_dev else dtype

@@ -296,11 +296,13 @@ def _pick_shard_tiles(hl: int, wp: int, px: int, extra: int = 0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "mesh", "ny", "nx", "interpret", "tiles"),
+    static_argnames=(
+        "n_steps", "mesh", "ny", "nx", "interpret", "tiles", "store_dev"
+    ),
 )
 def run_chunk_sharded_pallas(
     state: LBMState, p: CaseParams, n_steps: int, mesh, ny: int, nx: int,
-    interpret: bool = False, tiles=None,
+    interpret: bool = False, tiles=None, store_dev=None,
 ):
     """run_chunk_sharded with the fused Pallas stencil as the per-shard step.
 
@@ -312,6 +314,11 @@ def run_chunk_sharded_pallas(
 
     Real-TPU alignment requires the local width to be a lane multiple
     (wl % 128 == 0); interpret-mode tests may use smaller shards.
+
+    ``store_dev`` (16-bit deviation storage, ops/pallas_step): each shard's
+    fast-step f buffer lives as bfloat16 deviations -- the per-step ppermute
+    halo rows ride ICI at half the bytes too. Lossy, opt-in; requires the
+    split-BC path and a plain obstacle scheme. None = module default.
     """
     from ..ops.pallas_step import (
         PY,
@@ -352,6 +359,14 @@ def run_chunk_sharded_pallas(
         tiles is None and wl % 128 == 0
         and hl % 8 == 0 and hl >= 16
     )
+    from ..ops import pallas_step as _ps
+
+    if store_dev is None:
+        store_dev = _ps._STORE_DEV
+    store_dev = bool(
+        store_dev and split and n_steps > 1
+        and not (p.halfway_obstacle or p.bouzidi_obstacle)
+    )
     if split:
         bh_fast, BW, PXs = _pick_split_tiles(
             hl, wl, 0 if rxs == 1 else 128, extra=q_extra
@@ -387,9 +402,14 @@ def run_chunk_sharded_pallas(
         ix = lax.axis_index(AXIS_X)
         offs = jnp.stack([iy * hl, ix * wl]).astype(jnp.int32).reshape(1, 2)
 
+        w_col = jnp.asarray(W, jnp.float32).reshape(9, 1, 1)
         fp = jnp.pad(
             state_l.f, ((0, 0), (PY, PY + Hp - hl), (PXs, PXs + Wp - wl))
         )
+        if store_dev:
+            # quantize once per chunk (16-bit deviations f - w); the halo
+            # rows extracted below stay 16-bit too -- half the ICI bytes
+            fp = (fp - w_col).astype(_ps._DEV_DTYPE)
         aux_b = jnp.pad(
             pack_aux(p_l.damping, p_l.mask), ((0, Hp - hl), (0, Wp - wl))
         )
@@ -430,11 +450,12 @@ def run_chunk_sharded_pallas(
                     fp, aux_b, scal, None, h_lo, h_hi, dims,
                     p_l.use_les, p_l.bc_type, False, interpret, False,
                     ec_buf=ec, er_buf=er, bounce=p_l.bounce_obstacle,
-                    nbb_p=nbb_b, q_p=qp_b,
+                    nbb_p=nbb_b, q_p=qp_b, store_dev=store_dev,
                 )
                 fp_new = _edge_bc_step(
                     fp_new, aux_b, ec, er, scal, edims, p_l.bc_type,
                     interpret, offs=offs, bounce=p_l.bounce_obstacle,
+                    store_dev=store_dev,
                 )
                 return fp_new, ec, er
             return _pallas_step(
@@ -484,6 +505,12 @@ def run_chunk_sharded_pallas(
                     )
                 fp, h_lo, h_hi, step = carry
             step = step + 1
+            if store_dev:
+                # dequantize for the chunk-closing full step (f32 in-kernel
+                # BCs); the carried halo rows must match the f32 scratch
+                fp = fp.astype(dtype) + w_col
+                h_lo = h_lo.astype(dtype) + w_col
+                h_hi = h_hi.astype(dtype) + w_col
             fp, rho_p, u_p, fpost_p = advance(
                 fp, h_lo, h_hi, step, dims_full, True
             )
@@ -511,6 +538,8 @@ def run_chunk_sharded_pallas(
             fp, _, _, step = carry
             fp = _halo_update_padded(fp, hl, wl, PXs, mesh)
             step = step + 1
+            if store_dev:
+                fp = fp.astype(dtype) + w_col
             fp, rho_p, u_p, fpost_p = advance(fp, None, None, step, dims_full, True)
 
         f = fp[:, PY : PY + hl, PXs : PXs + wl]

@@ -123,6 +123,38 @@ def test_sharded_pallas_split_bc():
     )
 
 
+def test_sharded_pallas_store_dev_close_to_f32():
+    """16-bit deviation storage under shard_map: the per-shard fast steps
+    keep f as bf16 deviations and the ppermute halo rows ride at half the
+    bytes. Lossy by contract -- bounded error vs the single-device exact
+    chunk; covers the rows-only (PX=0, carried halo rows) and 2D-mesh
+    (PX=128, DUS halo ring) decompositions."""
+    assert len(jax.devices()) >= 8
+    nx, ny = 256, 64
+    cfg = grid_config(nx, ny)
+    mask = block_mask(ny, nx)
+    p = make_params(cfg, mask)
+    ref_state, _ = run_chunk(init_state(ny, nx), p, 10)
+
+    for shape in ((4, 1), (2, 2)):  # rows-only; 2D mesh (wl=128 lanes)
+        ndev = shape[0] * shape[1]
+        mesh = make_mesh(shape=shape, devices=jax.devices()[:ndev])
+        st_sh, p_sh = shard_state(init_state(ny, nx), make_params(cfg, mask), mesh)
+        sh_state, _ = run_chunk_sharded_pallas(
+            st_sh, p_sh, n_steps=10, mesh=mesh, ny=ny, nx=nx, interpret=True,
+            store_dev=True,
+        )
+        f_err = np.abs(np.asarray(sh_state.f) - np.asarray(ref_state.f)).max()
+        assert f_err > 0, f"store_dev inactive on mesh {shape}"
+        np.testing.assert_allclose(
+            np.asarray(sh_state.f), np.asarray(ref_state.f), rtol=0,
+            atol=5e-4, err_msg=f"mesh {shape}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_state.u), np.asarray(ref_state.u), rtol=0, atol=5e-4
+        )
+
+
 def test_sharded_pallas_nonmultiple_band():
     """Row-only decomposition (dx == 1, PX = 0 fast geometry): local height
     not a band multiple (garbage rows inside the padded buffer), local-wrap
