@@ -21,6 +21,29 @@ except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
 
+def i420_to_rgb(y8: np.ndarray, uv8: np.ndarray) -> np.ndarray:
+    """(Y u8 [H, W], UV u8 [H/2, W/2, 2]) -> RGB u8 [H, W, 3].
+
+    Prefers cv2.COLOR_YUV2RGB_I420 (the exact inverse convention of the
+    device forward transform in ops/render.py); falls back to the same
+    BT.601 limited-range math in numpy when cv2 is absent.
+    """
+    h, w = y8.shape
+    if _HAS_CV2:
+        buf = np.empty((h * 3 // 2, w), np.uint8)
+        buf[:h] = y8
+        buf[h : h + h // 4] = uv8[..., 0].reshape(h // 4, w)
+        buf[h + h // 4 :] = uv8[..., 1].reshape(h // 4, w)
+        return cv2.cvtColor(buf, cv2.COLOR_YUV2RGB_I420)
+    yf = y8.astype(np.float32) - 16.0
+    up = np.repeat(np.repeat(uv8.astype(np.float32) - 128.0, 2, 0), 2, 1)
+    u, v = up[:h, :w, 0], up[:h, :w, 1]
+    r = 1.164 * yf + 1.596 * v
+    g = 1.164 * yf - 0.813 * v - 0.391 * u
+    b = 1.164 * yf + 2.018 * u
+    return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+
+
 class VideoRecorder:
     def __init__(self, filename: str, width: int, height: int, fps: int = 30):
         self.filename = filename
@@ -65,6 +88,16 @@ class VideoRecorder:
             return
         frame8 = np.asarray(img8)[: self.rec_height, : self.rec_width, :][::-1]
         self._emit(frame8)
+
+    def write_frame_i420(self, y8: np.ndarray, uv8: np.ndarray) -> None:
+        """YUV 4:2:0 frame from the device renderer's yuv420 mode: Y u8
+        [rec_h, rec_w], UV u8 [rec_h/2, rec_w/2, 2] (even-dim crop already
+        applied on device). Reconstructs RGB via cv2's own I420 inverse --
+        the device forward transform pixel-matches cv2.COLOR_RGB2YUV_I420 --
+        then flips/encodes like write_frame_u8."""
+        if not self.is_recording:
+            return
+        self.write_frame_u8(i420_to_rgb(np.asarray(y8), np.asarray(uv8)))
 
     def _emit(self, frame8: np.ndarray) -> None:
         if self._writer is not None:

@@ -120,6 +120,21 @@ def _resize_axis(img: jnp.ndarray, target: int, axis: int) -> jnp.ndarray:
     return a_lo * (1.0 - w_hi_b) + a_hi * w_hi_b
 
 
+def _rgb_to_i420(rgb8f: jnp.ndarray):
+    """float [H, W, 3] with INTEGER values 0..255 -> (Y u8 [H, W],
+    UV u8 [H/2, W/2, 2]), matching cv2.COLOR_RGB2YUV_I420: BT.601
+    limited-range matrix, top-left chroma subsampling (both verified
+    against cv2 to <=1 lsb; tests/test_render.py). H and W must be even.
+    """
+    r, g, b = rgb8f[..., 0], rgb8f[..., 1], rgb8f[..., 2]
+    y = 16.0 + (65.481 * r + 128.553 * g + 24.966 * b) * (1.0 / 255.0)
+    rs, gs, bs = r[0::2, 0::2], g[0::2, 0::2], b[0::2, 0::2]
+    u = (-37.797 * rs - 74.203 * gs + 112.0 * bs) * (1.0 / 255.0) + 128.0
+    v = (112.0 * rs - 93.786 * gs - 18.214 * bs) * (1.0 / 255.0) + 128.0
+    quant = lambda a: jnp.clip(jnp.round(a), 0.0, 255.0).astype(jnp.uint8)
+    return quant(y), jnp.stack([quant(u), quant(v)], axis=-1)
+
+
 def make_device_frame_renderer(
     gui_w: int,
     gui_h: int,
@@ -127,6 +142,7 @@ def make_device_frame_renderer(
     u_norm_max: float = 0.15,
     vorticity_range: float = 0.03,
     batched: bool = False,
+    yuv420: bool = False,
 ):
     """Jitted (u, mask) -> uint8 RGB frame [gui_h, gui_w, 3] on device.
 
@@ -135,11 +151,23 @@ def make_device_frame_renderer(
     two-panel height). The returned frame is unflipped/uncropped;
     io.video.VideoRecorder.write_frame_u8 applies the even-dim crop,
     vertical flip, and BGR swap exactly like the float path.
+
+    ``yuv420``: return (Y u8 [He, We], UV u8 [He/2, We/2, 2]) instead of
+    RGB, where He/We are gui_h/gui_w clamped to even (the recorder's
+    even-dim crop, applied on device). Half the device->host bytes of the
+    RGB frame for encoder-equivalent quality: mp4 encoding subsamples
+    chroma to 4:2:0 regardless, so the only information discarded is what
+    the encoder would discard anyway. The conversion pixel-matches
+    cv2.COLOR_RGB2YUV_I420 of the RGB frame to 1 lsb;
+    io.video.VideoRecorder.write_frame_i420 reconstructs with cv2's own
+    inverse before encoding.
     """
     radius = int(4.0 * viz_sigma + 0.5)
     kern = jnp.asarray(_gaussian_kernel1d(viz_sigma, radius), jnp.float32)
     plasma = _plasma_lut()
     vort_lut = _vorticity_lut()
+    rec_h = gui_h - 1 if gui_h % 2 else gui_h
+    rec_w = gui_w - 1 if gui_w % 2 else gui_w
 
     def render(u: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         ux, uy = u[0], u[1]
@@ -157,7 +185,12 @@ def make_device_frame_renderer(
         img = _resize_axis(img, gui_h, 0)
         img = _resize_axis(img, gui_w, 1)
         # same float->byte convention as VideoRecorder.write_frame
-        return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        rgb8f = jnp.floor(jnp.clip(img, 0.0, 1.0) * 255.0)
+        if yuv420:
+            # even-dim crop on device (the recorder would crop anyway),
+            # then the exact cv2 forward transform of the quantized bytes
+            return _rgb_to_i420(rgb8f[:rec_h, :rec_w, :])
+        return rgb8f.astype(jnp.uint8)
 
     fn = jax.vmap(render) if batched else render
     return jax.jit(fn)

@@ -104,8 +104,16 @@ def run_lockstep_group(
     video: bool = True,
     fetch_overlap: bool = True,
     f16_state: bool = False,
+    yuv_video: bool = False,
 ) -> List[Dict[str, Any]]:
     """Run one same-shape group in lockstep; returns per-case summary entries.
+
+    ``yuv_video`` fetches video frames as YUV 4:2:0 (Y + subsampled UV)
+    instead of RGB -- half the bytes per frame for encoder-equivalent
+    quality (mp4 subsamples chroma to 4:2:0 regardless; the device forward
+    transform pixel-matches cv2.COLOR_RGB2YUV_I420 and the recorder
+    reconstructs with cv2's own inverse). Meant for transfer-bound links
+    where the per-frame RGB fetch dominates the save cadence.
 
     ``f16_state`` keeps the solver's HBM f buffer as 16-bit deviations
     between monitor steps (ops/pallas_step store_dev): ~55% more solver
@@ -184,7 +192,7 @@ def run_lockstep_group(
         )
         renderer = make_device_frame_renderer(
             gui_w, gui_h, viz_sigma=gui_cfg.get("gaussian_sigma", 1.0),
-            batched=True,
+            batched=True, yuv420=yuv_video,
         )
         if gui_cfg.get("show_zone_overlay", False):
             zones = get_zone_config(cfg0)
@@ -291,7 +299,10 @@ def run_lockstep_group(
         """np.asarray device arrays -> host dict for write_fetched."""
         out = {}
         if pv is not None:
-            out["frames"] = np.asarray(pv)
+            if yuv_video:
+                out["frames_yuv"] = (np.asarray(pv[0]), np.asarray(pv[1]))
+            else:
+                out["frames"] = np.asarray(pv)
         if pen is not None:
             dev, pre = pen
             moments = np.asarray(dev)
@@ -334,14 +345,20 @@ def run_lockstep_group(
         if not out:
             return
         frames = out.get("frames")
-        if frames is not None:
+        yuv = out.get("frames_yuv")
+        if frames is not None or yuv is not None:
+            from ..io.video import i420_to_rgb
+
             for b in range(n_cases):
                 if fail_reason[b] is None and recorders[b] is not None:
-                    frame = frames[b]
+                    if yuv is not None:
+                        frame = i420_to_rgb(yuv[0][b], yuv[1][b])
+                    else:
+                        frame = frames[b].copy() if zones is not None else frames[b]
                     if zones is not None:
                         from ..viz.frames import draw_zone_overlay
 
-                        frame = draw_zone_overlay(frame.copy(), zones)
+                        frame = draw_zone_overlay(frame, zones)
                     recorders[b].write_frame_u8(frame)
         mom = out.get("moments")
         if mom is not None:
@@ -527,6 +544,7 @@ def run_batched(
     video: bool = True,
     fetch_overlap: bool = True,
     f16_state: bool = False,
+    yuv_video: bool = False,
 ) -> Dict[str, int]:
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -560,6 +578,7 @@ def run_batched(
             members, project_paths, output_dirs, progress, device_resize,
             runner=runner, n_devices=n_devices, f16_transfer=f16_transfer,
             video=video, fetch_overlap=fetch_overlap, f16_state=f16_state,
+            yuv_video=yuv_video,
         )
         for entry in entries:
             fname = entry["config_filename"]
@@ -624,6 +643,12 @@ def main() -> None:
         "is honored when omitted)",
     )
     ap.add_argument(
+        "--yuv_video", action="store_true",
+        help="fetch video frames as YUV 4:2:0 instead of RGB -- half the "
+        "bytes per frame, encoder-equivalent quality (mp4 subsamples "
+        "chroma to 4:2:0 regardless)",
+    )
+    ap.add_argument(
         "--fetch_at_idle", action="store_true",
         help="serialize save/video fetches into the post-chunk idle window "
         "instead of overlapping them with the next chunk's compute (use on "
@@ -636,6 +661,7 @@ def main() -> None:
         runner=args.runner, n_devices=args.n_devices,
         f16_transfer=args.f16_transfer, video=not args.no_video,
         fetch_overlap=not args.fetch_at_idle, f16_state=args.f16_state,
+        yuv_video=args.yuv_video,
     )
 
 

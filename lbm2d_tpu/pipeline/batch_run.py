@@ -66,6 +66,7 @@ def run_batch(
     video: bool = True,
     fetch_overlap: bool = True,
     f16_state: bool = False,
+    yuv_video: bool = False,
 ) -> Dict[str, int]:
     """Run every pending case of a project (reference batch_run contract).
 
@@ -88,6 +89,7 @@ def run_batch(
             project_name, max_batch=max_batch, root=root, progress=progress,
             device_resize=device_resize, f16_transfer=f16_transfer,
             video=video, fetch_overlap=fetch_overlap, f16_state=f16_state,
+            yuv_video=yuv_video,
         )
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -229,6 +231,9 @@ def main() -> None:
                     "(with --lockstep)")
     ap.add_argument("--no_video", action="store_true",
                     help="skip per-case mp4 (with --lockstep)")
+    ap.add_argument("--yuv_video", action="store_true",
+                    help="fetch video frames as YUV 4:2:0 -- half the bytes, "
+                    "encoder-equivalent quality (with --lockstep)")
     ap.add_argument("--fetch_at_idle", action="store_true",
                     help="serial idle-window fetches instead of overlapping "
                     "transfers with compute (with --lockstep)")
@@ -238,7 +243,7 @@ def main() -> None:
         device_resize=args.device_resize, lockstep=args.lockstep,
         max_batch=args.max_batch, f16_transfer=args.f16_transfer,
         video=not args.no_video, fetch_overlap=not args.fetch_at_idle,
-        f16_state=args.f16_state,
+        f16_state=args.f16_state, yuv_video=args.yuv_video,
     )
 
 

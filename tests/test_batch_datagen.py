@@ -349,3 +349,50 @@ def test_fetch_at_idle_matches_overlapped(tmp_path):
         ) as fb:
             for ds in ("turbulence", "mean_vel_field", "sum_vor"):
                 np.testing.assert_array_equal(fa[ds][:], fb[ds][:])
+
+
+def test_yuv_video_matches_rgb_video(tmp_path):
+    """--yuv_video end-to-end: the lockstep path with YUV 4:2:0 frame
+    fetches emits the same artifact set, and its decoded video matches the
+    RGB-fetch video within the encoder's own quantization noise (the
+    encoder subsamples chroma to 4:2:0 either way)."""
+    import cv2
+
+    root_a = str(tmp_path / "rgb")
+    root_b = str(tmp_path / "yuv")
+    os.makedirs(root_a)
+    os.makedirs(root_b)
+    make_project(root_a, name="V")
+    make_project(root_b, name="V")
+
+    run_batched("V", max_batch=4, root=root_a, progress=False)
+    run_batched("V", max_batch=4, root=root_b, progress=False, yuv_video=True)
+
+    def decode(path):
+        assert os.path.exists(path), path
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame.astype(np.int32))
+        cap.release()
+        return frames
+
+    fa = decode(os.path.join(root_a, "outputs/V/vis/mask_00_Nu0-0500.mp4"))
+    fb = decode(os.path.join(root_b, "outputs/V/vis/mask_00_Nu0-0500.mp4"))
+    assert len(fa) == len(fb) and len(fa) >= 1
+    for a, b in zip(fa, fb):
+        assert a.shape == b.shape
+        diff = np.abs(a - b)
+        assert np.mean(diff) < 3.0, f"mean decoded diff {np.mean(diff)}"
+
+    # the non-video artifacts are untouched by the video transport
+    import h5py
+
+    for root in (root_a, root_b):
+        with h5py.File(
+            os.path.join(root, "outputs/V/raw/mask_00_Nu0-0500.h5")
+        ) as f:
+            assert f["turbulence"].shape[0] >= 1

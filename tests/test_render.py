@@ -118,3 +118,102 @@ def test_overlay_on_u8_frame():
     out = draw_zone_overlay(img8.copy(), zones)
     col = int(4 * nx / nx)
     assert tuple(out[0, col]) == (0, 255, 0)  # green sponge line at u8 scale
+
+
+def test_yuv420_matches_cv2_forward_and_reconstructs():
+    """yuv420 mode == cv2.COLOR_RGB2YUV_I420 of the RGB frame (to 1 lsb --
+    cv2 uses fixed-point arithmetic), the Y (luma) plane reconstructs
+    near-exactly, and the ENCODED artifact is equivalent: the decoded
+    yuv-path video differs from the decoded rgb-path video by less than
+    the rgb path's own encode error (the encoder quantizes and subsamples
+    chroma to 4:2:0 regardless of which path fed it)."""
+    cv2 = __import__("cv2")
+    import tempfile
+
+    from lbm2d_tpu.io.video import i420_to_rgb
+
+    ny, nx = 64, 96
+    u, mask = _field(ny, nx, seed=5)
+    gui_w, gui_h = nx, 2 * ny  # even dims
+    rgb8 = np.asarray(
+        make_device_frame_renderer(gui_w, gui_h)(jnp.asarray(u), jnp.asarray(mask))
+    )
+    y8, uv8 = make_device_frame_renderer(gui_w, gui_h, yuv420=True)(
+        jnp.asarray(u), jnp.asarray(mask)
+    )
+    y8, uv8 = np.asarray(y8), np.asarray(uv8)
+    assert y8.shape == (gui_h, gui_w) and uv8.shape == (gui_h // 2, gui_w // 2, 2)
+
+    ref = cv2.cvtColor(rgb8, cv2.COLOR_RGB2YUV_I420)
+    ref_y = ref[:gui_h]
+    ref_u = ref[gui_h : gui_h + gui_h // 4].reshape(gui_h // 2, gui_w // 2)
+    ref_v = ref[gui_h + gui_h // 4 :].reshape(gui_h // 2, gui_w // 2)
+    assert np.max(np.abs(y8.astype(int) - ref_y.astype(int))) <= 1
+    assert np.max(np.abs(uv8[..., 0].astype(int) - ref_u.astype(int))) <= 1
+    assert np.max(np.abs(uv8[..., 1].astype(int) - ref_v.astype(int))) <= 1
+
+    # luma carries the structure; it survives the YUV roundtrip near-exactly
+    back = i420_to_rgb(y8, uv8)
+    assert back.shape == rgb8.shape and back.dtype == np.uint8
+    luma = lambda a: a.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    assert np.abs(luma(back) - luma(rgb8)).mean() < 1.5
+
+    # artifact-level equivalence: encode both paths, decode, compare
+    tmp = tempfile.mkdtemp()
+    decoded = []
+    for name, write in (
+        ("rgb", lambda r: r.write_frame_u8(rgb8)),
+        ("yuv", lambda r: r.write_frame_i420(y8, uv8)),
+    ):
+        path = f"{tmp}/{name}.mp4"
+        rec = VideoRecorder(path, gui_w, gui_h, fps=5)
+        rec.start()
+        write(rec)
+        rec.stop()
+        cap = cv2.VideoCapture(path)
+        ok, frame = cap.read()
+        cap.release()
+        assert ok
+        decoded.append(frame[:, :, ::-1][::-1].astype(np.float64))  # undo BGR+flip
+    encode_err = np.abs(decoded[0] - rgb8.astype(np.float64)).mean()
+    cross = np.abs(decoded[0] - decoded[1]).mean()
+    assert cross <= 1.25 * encode_err, (
+        f"yuv-path decoded delta {cross:.2f} exceeds the rgb path's own "
+        f"encode error {encode_err:.2f}"
+    )
+
+
+def test_yuv420_odd_dims_crop_and_batched(tmp_path):
+    """Odd gui dims: the device crops to the recorder's even dims, and
+    write_frame_i420 stores the same bytes as write_frame_u8 of the
+    reconstructed frame (same crop/flip path). Batched mode vmaps both
+    planes."""
+    cv2 = __import__("cv2")
+    from lbm2d_tpu.io.video import i420_to_rgb
+
+    ny, nx = 48, 97  # odd width
+    u, mask = _field(ny, nx, seed=6)
+    gui_w, gui_h = nx, 2 * ny  # 97 x 96 -> recorder crops to 96 x 96
+    render = make_device_frame_renderer(gui_w, gui_h, yuv420=True, batched=True)
+    y8, uv8 = render(jnp.asarray(u[None]), jnp.asarray(mask[None]))
+    y8, uv8 = np.asarray(y8), np.asarray(uv8)
+    assert y8.shape == (1, gui_h, gui_w - 1)
+    assert uv8.shape == (1, gui_h // 2, (gui_w - 1) // 2, 2)
+
+    paths = [str(tmp_path / "a.mp4"), str(tmp_path / "b.mp4")]
+    rec = VideoRecorder(paths[0], gui_w, gui_h, fps=5)
+    rec.start()
+    rec.write_frame_i420(y8[0], uv8[0])
+    rec.stop()
+    rec2 = VideoRecorder(paths[1], gui_w, gui_h, fps=5)
+    rec2.start()
+    rec2.write_frame_u8(i420_to_rgb(y8[0], uv8[0]))
+    rec2.stop()
+    frames = []
+    for p in paths:
+        cap = cv2.VideoCapture(p)
+        ok, frame = cap.read()
+        cap.release()
+        assert ok
+        frames.append(frame)
+    np.testing.assert_array_equal(frames[0], frames[1])
