@@ -351,6 +351,12 @@ def run_lockstep_group(
 
             for b in range(n_cases):
                 if fail_reason[b] is None and recorders[b] is not None:
+                    if yuv is not None and zones is None:
+                        # planes go straight to the recorder; on the native
+                        # backend this feeds the yuv420p encoder directly
+                        # (no host RGB reconstruction at all)
+                        recorders[b].write_frame_i420(yuv[0][b], yuv[1][b])
+                        continue
                     if yuv is not None:
                         frame = i420_to_rgb(yuv[0][b], yuv[1][b])
                     else:

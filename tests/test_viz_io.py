@@ -71,6 +71,126 @@ def test_video_recorder_roundtrip(tmp_path):
     assert n == 8 and w == 64 and h == 32  # even-dim clamp
 
 
+def _decode_all(path):
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, img = cap.read()
+        if not ok:
+            break
+        frames.append(img[..., ::-1])  # BGR -> RGB
+    cap.release()
+    return frames
+
+
+def test_video_recorder_native_backend(tmp_path):
+    """Native libavcodec worker: decoded content matches the source frames
+    (within codec tolerance) and orientation matches the cv2 fallback."""
+    from lbm2d_tpu.native import load_videoenc
+
+    if load_videoenc() is None:
+        import pytest
+
+        pytest.skip("native video encoder unavailable in this image")
+
+    rng = np.random.default_rng(3)
+    # smooth content (codecs mangle white noise): a moving gradient
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    frames = [
+        np.stack(
+            [(xx + 7 * i) % 64 / 64, yy / 48, np.full_like(xx, 0.4)], axis=-1
+        )
+        for i in range(6)
+    ]
+    path = str(tmp_path / "native.mp4")
+    rec = VideoRecorder(path, width=64, height=48, fps=30)
+    rec.start()
+    assert rec.backend.startswith("native-"), rec.backend
+    for f in frames:
+        rec.write_frame(f)
+    rec.stop()
+
+    decoded = _decode_all(path)
+    assert len(decoded) == len(frames)
+    for src, got in zip(frames, decoded):
+        want = (np.clip(src[::-1], 0, 1) * 255).astype(np.float64)
+        err = np.abs(want - got.astype(np.float64)).mean()
+        assert err < 8.0, f"mean abs err {err}"
+
+
+def test_video_recorder_native_single_frame(tmp_path):
+    """1-frame mp4s must decode (B-frame dts quirk regression guard)."""
+    from lbm2d_tpu.native import load_videoenc
+
+    if load_videoenc() is None:
+        import pytest
+
+        pytest.skip("native video encoder unavailable in this image")
+    path = str(tmp_path / "one.mp4")
+    rec = VideoRecorder(path, width=32, height=32, fps=30)
+    rec.start()
+    rec.write_frame(np.full((32, 32, 3), 0.5, np.float32))
+    rec.stop()
+    assert len(_decode_all(path)) == 1
+
+
+def test_video_recorder_i420_matches_rgb_path(tmp_path):
+    """Feeding device-layout I420 planes must produce (about) the same
+    pixels as feeding the equivalent RGB frame."""
+    from lbm2d_tpu.io.video import i420_to_rgb
+    from lbm2d_tpu.native import load_videoenc
+
+    if load_videoenc() is None:
+        import pytest
+
+        pytest.skip("native video encoder unavailable in this image")
+    import cv2
+
+    rng = np.random.default_rng(5)
+    h, w = 48, 64
+    base = cv2.GaussianBlur(
+        rng.uniform(0, 255, (h, w, 3)).astype(np.float32), (0, 0), 3
+    )
+    rgb8 = np.clip(base, 0, 255).astype(np.uint8)
+    # device forward transform layout: Y [h,w], UV [h/2,w/2,2]
+    i420 = cv2.cvtColor(rgb8, cv2.COLOR_RGB2YUV_I420)  # [h*3/2, w]
+    y8 = i420[:h]
+    u = i420[h : h + h // 4].reshape(h // 2, w // 2)
+    v = i420[h + h // 4 :].reshape(h // 2, w // 2)
+    uv8 = np.stack([u, v], axis=-1)
+
+    paths = {}
+    for name in ("rgb", "i420"):
+        p = str(tmp_path / f"{name}.mp4")
+        rec = VideoRecorder(p, width=w, height=h, fps=30)
+        rec.start()
+        for _ in range(3):
+            if name == "rgb":
+                rec.write_frame_u8(rgb8)
+            else:
+                rec.write_frame_i420(y8, uv8)
+        rec.stop()
+        paths[name] = p
+    a = _decode_all(paths["rgb"])
+    b = _decode_all(paths["i420"])
+    assert len(a) == len(b) == 3
+    err = np.abs(a[0].astype(np.float64) - b[0].astype(np.float64)).mean()
+    # two lossy trips through different 4:2:0 subsampling sites
+    assert err < 6.0, f"mean abs err {err}"
+
+
+def test_video_recorder_fallback_when_native_disabled(tmp_path, monkeypatch):
+    monkeypatch.setenv("LBM2D_NO_NATIVE", "1")
+    path = str(tmp_path / "fallback.mp4")
+    rec = VideoRecorder(path, width=32, height=32, fps=10)
+    rec.start()
+    assert rec.backend in ("cv2-mp4v", "png")
+    rec.write_frame(np.full((32, 32, 3), 0.3, np.float32))
+    rec.stop()
+
+
 def test_pick_random_png(tmp_path):
     import random
 
