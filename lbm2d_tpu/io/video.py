@@ -37,11 +37,18 @@ def i420_to_rgb(y8: np.ndarray, uv8: np.ndarray) -> np.ndarray:
     """
     h, w = y8.shape
     if _HAS_CV2:
-        buf = np.empty((h * 3 // 2, w), np.uint8)
-        buf[:h] = y8
-        buf[h : h + h // 4] = uv8[..., 0].reshape(h // 4, w)
-        buf[h + h // 4 :] = uv8[..., 1].reshape(h // 4, w)
-        return cv2.cvtColor(buf, cv2.COLOR_YUV2RGB_I420)
+        # pack planes FLAT: the I420 buffer is Y (h*w bytes) then U then V
+        # (h*w/4 each), contiguous. Row-sliced packing would need h % 4 == 0
+        # (each chroma plane spanning h/4 buffer rows), but stacked-panel
+        # frames are only guaranteed even -- e.g. h=970 broke the reshape.
+        buf = np.empty(h * w * 3 // 2, np.uint8)
+        n = h * w
+        buf[:n] = np.ascontiguousarray(y8).ravel()
+        buf[n : n + n // 4] = np.ascontiguousarray(uv8[..., 0]).ravel()
+        buf[n + n // 4 :] = np.ascontiguousarray(uv8[..., 1]).ravel()
+        return cv2.cvtColor(
+            buf.reshape(h * 3 // 2, w), cv2.COLOR_YUV2RGB_I420
+        )
     yf = y8.astype(np.float32) - 16.0
     up = np.repeat(np.repeat(uv8.astype(np.float32) - 128.0, 2, 0), 2, 1)
     u, v = up[:h, :w, 0], up[:h, :w, 1]

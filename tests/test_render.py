@@ -183,11 +183,18 @@ def test_yuv420_matches_cv2_forward_and_reconstructs():
     )
 
 
-def test_yuv420_odd_dims_crop_and_batched(tmp_path):
+def test_yuv420_odd_dims_crop_and_batched(tmp_path, monkeypatch):
     """Odd gui dims: the device crops to the recorder's even dims, and
     write_frame_i420 stores the same bytes as write_frame_u8 of the
     reconstructed frame (same crop/flip path). Batched mode vmaps both
-    planes."""
+    planes.
+
+    Pinned to the cv2 fallback backend: there both writes share one emit
+    path, so byte-equality is the contract. The native backend feeds I420
+    planes directly to the encoder (no RGB reconstruction), which is only
+    tolerance-equal -- covered by
+    test_viz_io.py::test_video_recorder_i420_matches_rgb_path."""
+    monkeypatch.setenv("LBM2D_NO_NATIVE", "1")
     cv2 = __import__("cv2")
     from lbm2d_tpu.io.video import i420_to_rgb
 

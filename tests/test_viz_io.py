@@ -181,6 +181,29 @@ def test_video_recorder_i420_matches_rgb_path(tmp_path):
     assert err < 6.0, f"mean abs err {err}"
 
 
+def test_i420_to_rgb_height_not_multiple_of_4():
+    """Stacked-panel frames are only guaranteed EVEN height; h=970 (and any
+    h % 4 == 2) used to crash the chroma reshape in the cv2 packing path.
+    Round-trip vs cv2's own forward transform must stay within 4:2:0 loss."""
+    import cv2
+
+    from lbm2d_tpu.io.video import i420_to_rgb
+
+    rng = np.random.default_rng(11)
+    for h, w in ((10, 8), (970, 64), (34, 46)):
+        rgb8 = cv2.GaussianBlur(
+            rng.uniform(0, 255, (h, w, 3)).astype(np.float32), (0, 0), 2
+        ).astype(np.uint8)
+        i420 = cv2.cvtColor(rgb8, cv2.COLOR_RGB2YUV_I420)
+        y8 = i420[:h]
+        u = i420[h:].ravel()[: h * w // 4].reshape(h // 2, w // 2)
+        v = i420[h:].ravel()[h * w // 4 :].reshape(h // 2, w // 2)
+        back = i420_to_rgb(y8, np.stack([u, v], axis=-1))
+        assert back.shape == (h, w, 3)
+        err = np.abs(back.astype(np.float64) - rgb8.astype(np.float64)).mean()
+        assert err < 4.0, f"{h}x{w}: mean abs err {err}"
+
+
 def test_video_recorder_fallback_when_native_disabled(tmp_path, monkeypatch):
     monkeypatch.setenv("LBM2D_NO_NATIVE", "1")
     path = str(tmp_path / "fallback.mp4")
