@@ -551,7 +551,20 @@ def run_batched(
     fetch_overlap: bool = True,
     f16_state: bool = False,
     yuv_video: bool = False,
+    f16_retry: bool = False,
 ) -> Dict[str, int]:
+    """Run every pending case of a project on the lockstep engine.
+
+    ``f16_retry`` (with ``f16_state``): cases that fail under the lossy
+    16-bit deviation state are re-run once in exact f32 before being
+    recorded Failed. bf16-deviation quantization can nudge a
+    near-breaker flow over the 0.25 velocity threshold that the exact
+    path survives (measured: 1 of 15 seed-7 production cases, BASELINE.md
+    round-3 section), so the retry recovers those cases at f32 speed
+    while everything healthy keeps the ~55% f16 throughput win. A case
+    whose divergence is physical fails again in f32 and is recorded
+    Failed with its f32 reason.
+    """
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
     config_meta_path = os.path.join(project_paths["project_base"], "config_meta.json")
@@ -575,35 +588,59 @@ def run_batched(
         f"group(s), max_batch={max_batch}"
     )
     stats = {"success": 0, "failed": 0, "skipped": len(skip)}
-    for gi, members in enumerate(batches):
-        names = [f for f, _ in members]
-        print(f"\n--- Group {gi + 1}/{len(batches)}: {len(members)} cases")
-        for fname in names:
-            results_store.set_status(fname, results_store.STATUS_RUNNING, sim_results_path)
-        entries = run_lockstep_group(
-            members, project_paths, output_dirs, progress, device_resize,
-            runner=runner, n_devices=n_devices, f16_transfer=f16_transfer,
-            video=video, fetch_overlap=fetch_overlap, f16_state=f16_state,
-            yuv_video=yuv_video,
-        )
-        for entry in entries:
-            fname = entry["config_filename"]
-            if entry.get("status") == "Success":
-                results_store.fill_simulation_outputs(
-                    fname,
-                    entry["parameters"]["simulation_outputs"],
-                    entry.get("run_summary", {}),
-                    entry.get("wall_time_s", 0.0),
-                    sim_results_path,
-                )
-                stats["success"] += 1
-            else:
+
+    def _run_groups(groups, use_f16, label=""):
+        """Run lockstep groups; return filenames of cases that failed."""
+        failed_names = []
+        for gi, members in enumerate(groups):
+            names = [f for f, _ in members]
+            print(f"\n--- {label}Group {gi + 1}/{len(groups)}: "
+                  f"{len(members)} cases")
+            for fname in names:
                 results_store.set_status(
-                    fname, results_store.STATUS_FAILED, sim_results_path,
-                    extra_fields={"reason": entry.get("reason", "Unknown")},
-                )
-                stats["failed"] += 1
-            summary.update_summary_file(entry, legacy_summary_path)
+                    fname, results_store.STATUS_RUNNING, sim_results_path)
+            entries = run_lockstep_group(
+                members, project_paths, output_dirs, progress, device_resize,
+                runner=runner, n_devices=n_devices, f16_transfer=f16_transfer,
+                video=video, fetch_overlap=fetch_overlap, f16_state=use_f16,
+                yuv_video=yuv_video,
+            )
+            for entry in entries:
+                fname = entry["config_filename"]
+                if entry.get("status") == "Success":
+                    results_store.fill_simulation_outputs(
+                        fname,
+                        entry["parameters"]["simulation_outputs"],
+                        entry.get("run_summary", {}),
+                        entry.get("wall_time_s", 0.0),
+                        sim_results_path,
+                    )
+                    stats["success"] += 1
+                else:
+                    results_store.set_status(
+                        fname, results_store.STATUS_FAILED, sim_results_path,
+                        extra_fields={"reason": entry.get("reason", "Unknown")},
+                    )
+                    stats["failed"] += 1
+                    failed_names.append(fname)
+                summary.update_summary_file(entry, legacy_summary_path)
+        return failed_names
+
+    failed = _run_groups(batches, f16_state)
+    if f16_state and f16_retry and failed:
+        print(f"\n[BatchDatagen] {len(failed)} case(s) failed under "
+              f"--f16_state; retrying in exact f32")
+        retry_batches = group_configs(
+            sorted(failed), project_paths["configs"], max_batch)
+        still_failed = set(
+            _run_groups(retry_batches, False, label="f32-retry "))
+        recovered = len(failed) - len(still_failed)
+        # each retried case was tallied Failed in pass 1 and again
+        # (Success or Failed) in the retry pass; drop the pass-1 tally so
+        # the final stats reflect the retry outcome only
+        stats["failed"] -= len(failed)
+        stats["f16_retried"] = len(failed)
+        stats["f16_recovered"] = recovered
     try:
         build_npz(legacy_summary_path, npz_path)
     except Exception as exc:
@@ -660,6 +697,12 @@ def main() -> None:
         "instead of overlapping them with the next chunk's compute (use on "
         "links whose D2H bandwidth collapses under device load)",
     )
+    ap.add_argument(
+        "--f16_retry", action="store_true",
+        help="re-run cases that fail under --f16_state once in exact f32 "
+        "before recording them Failed (recovers quantization-induced "
+        "breaker trips; physically divergent cases still fail)",
+    )
     args = ap.parse_args()
     run_batched(
         args.project_name, args.max_batch, root=args.root,
@@ -667,7 +710,7 @@ def main() -> None:
         runner=args.runner, n_devices=args.n_devices,
         f16_transfer=args.f16_transfer, video=not args.no_video,
         fetch_overlap=not args.fetch_at_idle, f16_state=args.f16_state,
-        yuv_video=args.yuv_video,
+        yuv_video=args.yuv_video, f16_retry=args.f16_retry,
     )
 
 

@@ -67,6 +67,7 @@ def run_batch(
     fetch_overlap: bool = True,
     f16_state: bool = False,
     yuv_video: bool = False,
+    f16_retry: bool = False,
 ) -> Dict[str, int]:
     """Run every pending case of a project (reference batch_run contract).
 
@@ -89,7 +90,7 @@ def run_batch(
             project_name, max_batch=max_batch, root=root, progress=progress,
             device_resize=device_resize, f16_transfer=f16_transfer,
             video=video, fetch_overlap=fetch_overlap, f16_state=f16_state,
-            yuv_video=yuv_video,
+            yuv_video=yuv_video, f16_retry=f16_retry,
         )
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -237,6 +238,10 @@ def main() -> None:
     ap.add_argument("--fetch_at_idle", action="store_true",
                     help="serial idle-window fetches instead of overlapping "
                     "transfers with compute (with --lockstep)")
+    ap.add_argument("--f16_retry", action="store_true",
+                    help="re-run cases that fail under --f16_state once in "
+                    "exact f32 before recording them Failed (recovers "
+                    "quantization-induced breaker trips)")
     args = ap.parse_args()
     run_batch(
         args.project_name, args.max_success, root=args.root,
@@ -244,6 +249,7 @@ def main() -> None:
         max_batch=args.max_batch, f16_transfer=args.f16_transfer,
         video=not args.no_video, fetch_overlap=not args.fetch_at_idle,
         f16_state=args.f16_state, yuv_video=args.yuv_video,
+        f16_retry=args.f16_retry,
     )
 
 

@@ -396,3 +396,92 @@ def test_yuv_video_matches_rgb_video(tmp_path):
             os.path.join(root, "outputs/V/raw/mask_00_Nu0-0500.h5")
         ) as f:
             assert f["turbulence"].shape[0] >= 1
+
+
+def _fake_group_runner(fail_f16=(), fail_always=(), calls=None):
+    """Stub run_lockstep_group: fails named cases depending on f16 mode."""
+
+    def fake(members, project_paths, output_dirs, progress, device_resize,
+             runner="auto", n_devices=None, f16_transfer=False, video=True,
+             fetch_overlap=True, f16_state=False, yuv_video=False):
+        if calls is not None:
+            calls.append((f16_state, sorted(f for f, _ in members)))
+        entries = []
+        for fname, cfg in members:
+            name = cfg["simulation"]["name"]
+            fails = fname in fail_always or (f16_state and fname in fail_f16)
+            if fails:
+                entries.append({
+                    "case_name": name, "config_filename": fname,
+                    "status": "Failed",
+                    "reason": "f16 breaker" if f16_state else "physical",
+                    "wall_time_s": 1.0,
+                })
+            else:
+                entries.append({
+                    "case_name": name, "config_filename": fname,
+                    "status": "Success", "wall_time_s": 1.0,
+                    "run_summary": {"h5_file": "x.h5", "video_file": "N/A"},
+                    "parameters": {"simulation_outputs": {
+                        "total_steps_executed": 10}},
+                })
+        return entries
+
+    return fake
+
+
+def test_f16_retry_recovers_quantization_failure(tmp_path, monkeypatch):
+    """A case that fails only under f16 ends Success via the f32 retry."""
+    from lbm2d_tpu.pipeline import batch_datagen
+
+    root = str(tmp_path)
+    names = make_two_case_project(root)
+    calls = []
+    monkeypatch.setattr(
+        batch_datagen, "run_lockstep_group",
+        _fake_group_runner(fail_f16={names[0]}, calls=calls))
+    stats = run_batched("LockProj", max_batch=8, root=root, progress=False,
+                        f16_state=True, f16_retry=True)
+    assert stats["success"] == 2 and stats["failed"] == 0, stats
+    assert stats["f16_retried"] == 1 and stats["f16_recovered"] == 1
+
+    # pass 1 ran both cases in f16; the retry ran only the failed one in f32
+    assert calls[0] == (True, sorted(names))
+    assert calls[1] == (False, [names[0]])
+
+    plots = os.path.join(root, "outputs", "LockProj", "plots")
+    with open(os.path.join(plots, "sim_results.json")) as fh:
+        entries = {e["config_filename"]: e for e in json.load(fh)}
+    assert entries[names[0]]["status"] == "Success"
+    assert entries[names[1]]["status"] == "Success"
+
+
+def test_f16_retry_keeps_physical_failures_failed(tmp_path, monkeypatch):
+    """A case that also fails in f32 stays Failed, with the f32 reason."""
+    from lbm2d_tpu.pipeline import batch_datagen
+
+    root = str(tmp_path)
+    names = make_two_case_project(root)
+    monkeypatch.setattr(
+        batch_datagen, "run_lockstep_group",
+        _fake_group_runner(fail_always={names[1]}))
+    stats = run_batched("LockProj", max_batch=8, root=root, progress=False,
+                        f16_state=True, f16_retry=True)
+    assert stats["success"] == 1 and stats["failed"] == 1, stats
+    assert stats["f16_retried"] == 1 and stats["f16_recovered"] == 0
+
+    plots = os.path.join(root, "outputs", "LockProj", "plots")
+    with open(os.path.join(plots, "sim_results.json")) as fh:
+        entries = {e["config_filename"]: e for e in json.load(fh)}
+    assert entries[names[1]]["status"] == "Failed"
+    assert entries[names[1]]["reason"] == "physical"
+
+    # without the flag, no retry happens: single f16 pass, case Failed
+    root2 = str(tmp_path / "noflag")
+    names2 = make_two_case_project(root2)
+    monkeypatch.setattr(
+        batch_datagen, "run_lockstep_group",
+        _fake_group_runner(fail_f16={names2[1]}))
+    stats2 = run_batched("LockProj", max_batch=8, root=root2, progress=False,
+                         f16_state=True)
+    assert stats2["failed"] == 1 and "f16_retried" not in stats2
