@@ -36,9 +36,10 @@ def read_json(path: str, default=None):
 
 def write_json_atomic(data, path: str, indent: int = 2) -> None:
     """Write via .tmp + os.replace so a crash never corrupts the store
-    (reference io/sim_results_io.py:55-64 semantics)."""
+    (reference io/sim_results_io.py:55-64 semantics). The tmp name carries
+    the pid so concurrent workers never clobber each other's staging file."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp.{os.getpid()}"
     try:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(data, fh, indent=indent, ensure_ascii=False, cls=NumpySafeJSONEncoder)

@@ -8,6 +8,7 @@ atomic (tmp + os.replace).
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Any, Dict, Optional
 
@@ -17,6 +18,34 @@ STATUS_PENDING = "Pending"
 STATUS_RUNNING = "Running"
 STATUS_SUCCESS = "Success"
 STATUS_FAILED = "Failed"
+# Transient: failed under --f16_state, exact-f32 retry still owed. Resume
+# treats it like Running (re-run), so a crash between the f16 pass and the
+# retry pass cannot strand a quantization failure as permanently Failed.
+STATUS_RETRY_PENDING = "RetryPending"
+
+
+@contextlib.contextmanager
+def store_lock(sim_results_path: str):
+    """Exclusive advisory lock serializing read-modify-write cycles on the
+    store, so N concurrent workers sharing one project never lose each
+    other's status updates (the reference is single-process and needs none;
+    its atomic replace only guards torn writes,
+    reference io/sim_results_io.py:55-64). flock is used when available
+    (Linux/macOS, incl. modern NFS); elsewhere this degrades to the
+    reference's lock-free behavior."""
+    lock_path = sim_results_path + ".lock"
+    os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: best-effort, single-worker semantics
+            pass
+        yield
+    finally:
+        os.close(fd)  # closing drops the flock
 
 
 def load_config_meta(config_meta_path: str) -> Dict[str, dict]:
@@ -52,20 +81,27 @@ def set_status(
     sim_results_path: str,
     extra_fields: Optional[Dict[str, Any]] = None,
 ) -> None:
-    """Update one entry's status in place; create a minimal entry if missing."""
-    entries = read_json(sim_results_path, default=[]) or []
-    for entry in entries:
-        if entry.get("config_filename") == config_filename:
-            entry["status"] = status
+    """Update one entry's status in place; create a minimal entry if missing.
+
+    Re-marking a case Running (a retry/resume) clears any stale failure
+    fields from an earlier attempt so a later Success entry never carries a
+    leftover 'reason'."""
+    with store_lock(sim_results_path):
+        entries = read_json(sim_results_path, default=[]) or []
+        for entry in entries:
+            if entry.get("config_filename") == config_filename:
+                entry["status"] = status
+                if status == STATUS_RUNNING:
+                    entry.pop("reason", None)
+                if extra_fields:
+                    entry.update(extra_fields)
+                break
+        else:
+            new_entry: Dict[str, Any] = {"config_filename": config_filename, "status": status}
             if extra_fields:
-                entry.update(extra_fields)
-            break
-    else:
-        new_entry: Dict[str, Any] = {"config_filename": config_filename, "status": status}
-        if extra_fields:
-            new_entry.update(extra_fields)
-        entries.append(new_entry)
-    write_json_atomic(entries, sim_results_path)
+                new_entry.update(extra_fields)
+            entries.append(new_entry)
+        write_json_atomic(entries, sim_results_path)
 
 
 def fill_simulation_outputs(
@@ -77,23 +113,27 @@ def fill_simulation_outputs(
 ) -> bool:
     """Record a successful run's measured outputs; Tier 1/2/3 physics stay as
     precomputed in config_meta. Returns False if the entry is missing."""
-    entries = read_json(sim_results_path, default=[]) or []
-    for entry in entries:
-        if entry.get("config_filename") != config_filename:
-            continue
-        entry["status"] = STATUS_SUCCESS
-        entry["wall_time_s"] = round(wall_time_s, 2)
-        sim_out = entry.get("parameters", {}).get("simulation_outputs", {})
-        sim_out.update(
-            {
-                "actual_reynolds_number": simulation_outputs.get("actual_reynolds_number"),
-                "total_steps_executed": simulation_outputs.get("total_steps_executed"),
-                "tensor_shapes": simulation_outputs.get("tensor_shapes"),
-            }
-        )
-        sim_out.pop("_note", None)
-        entry.setdefault("parameters", {})["simulation_outputs"] = sim_out
-        entry["run_summary"] = run_summary
-        write_json_atomic(entries, sim_results_path)
-        return True
-    return False
+    with store_lock(sim_results_path):
+        entries = read_json(sim_results_path, default=[]) or []
+        for entry in entries:
+            if entry.get("config_filename") != config_filename:
+                continue
+            entry["status"] = STATUS_SUCCESS
+            # a Success entry carries no failure fields from earlier attempts
+            # (e.g. the f16 pass's breaker reason before an f32 retry)
+            entry.pop("reason", None)
+            entry["wall_time_s"] = round(wall_time_s, 2)
+            sim_out = entry.get("parameters", {}).get("simulation_outputs", {})
+            sim_out.update(
+                {
+                    "actual_reynolds_number": simulation_outputs.get("actual_reynolds_number"),
+                    "total_steps_executed": simulation_outputs.get("total_steps_executed"),
+                    "tensor_shapes": simulation_outputs.get("tensor_shapes"),
+                }
+            )
+            sim_out.pop("_note", None)
+            entry.setdefault("parameters", {})["simulation_outputs"] = sim_out
+            entry["run_summary"] = run_summary
+            write_json_atomic(entries, sim_results_path)
+            return True
+        return False

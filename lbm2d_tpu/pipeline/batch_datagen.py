@@ -552,6 +552,7 @@ def run_batched(
     f16_state: bool = False,
     yuv_video: bool = False,
     f16_retry: bool = False,
+    max_success: Optional[int] = None,
 ) -> Dict[str, int]:
     """Run every pending case of a project on the lockstep engine.
 
@@ -563,7 +564,16 @@ def run_batched(
     round-3 section), so the retry recovers those cases at f32 speed
     while everything healthy keeps the ~55% f16 throughput win. A case
     whose divergence is physical fails again in f32 and is recorded
-    Failed with its f32 reason.
+    Failed with its f32 reason. Crash safety: a pass-1 f16 failure is
+    persisted as RetryPending (not Failed) until the retry decides, so an
+    interruption between the passes re-attempts the case on resume.
+
+    ``max_success`` (reference CLI contract,
+    reference pipeline/batch_run.py:147-162): stop launching lockstep
+    groups once the project's Success count (prior runs + this one)
+    reaches N. Stopping is group-granular -- an in-flight group finishes
+    and may overshoot N by up to its batch size; unlaunched cases stay
+    Pending for the next run.
     """
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -577,10 +587,17 @@ def run_batched(
         results_store.init_sim_results(config_meta, sim_results_path)
     cfg_files = find_config_files(project_paths["configs"])
     status_map = results_store.get_status_map(sim_results_path)
-    _done, skip = build_resume_plan(cfg_files, status_map)
+    already_success, skip = build_resume_plan(cfg_files, status_map)
     todo = [f for f in cfg_files if f not in skip]
     if not os.path.exists(legacy_summary_path):
         summary.init_summary_file(legacy_summary_path)
+    if f16_retry and not f16_state:
+        print("[BatchDatagen] WARNING: --f16_retry has no effect without "
+              "--f16_state (nothing runs in f16, so nothing is retried)")
+    if max_success is not None and max_success - already_success <= 0:
+        print(f"[BatchDatagen] max_success={max_success} already reached; "
+              f"nothing to do.")
+        return {"success": 0, "failed": 0, "skipped": len(skip)}
 
     batches = group_configs(todo, project_paths["configs"], max_batch)
     print(
@@ -589,10 +606,22 @@ def run_batched(
     )
     stats = {"success": 0, "failed": 0, "skipped": len(skip)}
 
-    def _run_groups(groups, use_f16, label=""):
+    def _run_groups(groups, use_f16, label="",
+                    fail_status=results_store.STATUS_FAILED,
+                    stop_at_max=False):
         """Run lockstep groups; return filenames of cases that failed."""
         failed_names = []
         for gi, members in enumerate(groups):
+            if (
+                stop_at_max
+                and max_success is not None
+                and already_success + stats["success"] >= max_success
+            ):
+                left = sum(len(m) for m in groups[gi:])
+                print(f"\n[BatchDatagen] reached max_success={max_success} "
+                      f"({already_success} prior + {stats['success']} new); "
+                      f"leaving {left} case(s) Pending.")
+                break
             names = [f for f, _ in members]
             print(f"\n--- {label}Group {gi + 1}/{len(groups)}: "
                   f"{len(members)} cases")
@@ -618,7 +647,7 @@ def run_batched(
                     stats["success"] += 1
                 else:
                     results_store.set_status(
-                        fname, results_store.STATUS_FAILED, sim_results_path,
+                        fname, fail_status, sim_results_path,
                         extra_fields={"reason": entry.get("reason", "Unknown")},
                     )
                     stats["failed"] += 1
@@ -626,7 +655,16 @@ def run_batched(
                 summary.update_summary_file(entry, legacy_summary_path)
         return failed_names
 
-    failed = _run_groups(batches, f16_state)
+    # With the retry armed, pass-1 f16 failures persist as RetryPending: a
+    # crash before the retry pass leaves them re-runnable on resume (Failed
+    # would be skipped by build_resume_plan forever).
+    pass1_fail_status = (
+        results_store.STATUS_RETRY_PENDING
+        if (f16_state and f16_retry)
+        else results_store.STATUS_FAILED
+    )
+    failed = _run_groups(batches, f16_state, fail_status=pass1_fail_status,
+                         stop_at_max=True)
     if f16_state and f16_retry and failed:
         print(f"\n[BatchDatagen] {len(failed)} case(s) failed under "
               f"--f16_state; retrying in exact f32")

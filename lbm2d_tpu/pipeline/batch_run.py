@@ -80,10 +80,12 @@ def run_batch(
     below remains the default (reference wall-time accounting parity,
     /root/reference/src/lbm_mrt_les/pipeline/batch_run.py:292-299).
     """
+    if f16_retry and not (lockstep and f16_state):
+        # ADVICE r3: without lockstep+f16_state nothing runs in f16, so a
+        # silently ignored --f16_retry would fake retry protection
+        raise ValueError("--f16_retry requires --lockstep and --f16_state "
+                         "(it re-runs f16-state failures in exact f32)")
     if lockstep:
-        if max_success is not None:
-            raise ValueError("--max_success is a serial-loop feature; "
-                             "not supported with --lockstep")
         from .batch_datagen import run_batched
 
         return run_batched(
@@ -91,6 +93,7 @@ def run_batch(
             device_resize=device_resize, f16_transfer=f16_transfer,
             video=video, fetch_overlap=fetch_overlap, f16_state=f16_state,
             yuv_video=yuv_video, f16_retry=f16_retry,
+            max_success=max_success,
         )
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -210,7 +213,11 @@ def main() -> None:
     ap.add_argument("--project_name", type=str, required=True)
     ap.add_argument("--root", type=str, default=".",
                     help="directory holding SimCases/ and outputs/")
-    ap.add_argument("--max_success", type=int, default=None)
+    ap.add_argument("--max_success", type=int, default=None,
+                    help="stop after N total successful cases (prior runs "
+                    "count; reference CLI contract). With --lockstep the "
+                    "stop is group-granular: the in-flight group finishes "
+                    "and may overshoot N by up to --max_batch")
     ap.add_argument(
         "--device_resize", action="store_true",
         help="crop+resize dataset frames on device before the host fetch "

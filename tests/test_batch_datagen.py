@@ -166,11 +166,50 @@ def test_batch_run_lockstep_delegation(tmp_path):
     # resume semantics preserved through the delegated path
     stats2 = run_batch("LK", root=root, progress=False, lockstep=True)
     assert stats2["success"] == 0 and stats2["skipped"] == 2
+    # --f16_retry without lockstep+f16_state is a configuration error, not a
+    # silent no-op (ADVICE r3)
     try:
-        run_batch("LK", root=root, lockstep=True, max_success=1)
-        assert False, "max_success must be rejected with lockstep"
+        run_batch("LK", root=root, f16_retry=True)
+        assert False, "f16_retry without lockstep+f16_state must be rejected"
     except ValueError:
         pass
+    try:
+        run_batch("LK", root=root, lockstep=True, f16_retry=True)
+        assert False, "f16_retry without f16_state must be rejected"
+    except ValueError:
+        pass
+
+
+def test_lockstep_max_success_stops_group_launches(tmp_path):
+    """--max_success on the lockstep path (VERDICT r3 missing #2): stop
+    launching groups once N total successes are recorded; unlaunched cases
+    stay Pending and run on the next invocation."""
+    from lbm2d_tpu.pipeline.batch_run import run_batch
+
+    root = str(tmp_path)
+    names = make_two_case_project(root, name="MS")
+    # max_batch=1 -> two single-case groups; stop after the first success
+    stats = run_batch("MS", root=root, progress=False, lockstep=True,
+                      max_batch=1, max_success=1)
+    assert stats["success"] == 1, stats
+    plots = os.path.join(root, "outputs", "MS", "plots")
+    with open(os.path.join(plots, "sim_results.json")) as fh:
+        entries = {e["config_filename"]: e for e in json.load(fh)}
+    statuses = sorted(entries[n]["status"] for n in names)
+    assert statuses == ["Pending", "Success"], statuses
+
+    # prior successes count toward the cap (reference batch_run semantics)
+    stats2 = run_batch("MS", root=root, progress=False, lockstep=True,
+                       max_batch=1, max_success=1)
+    assert stats2["success"] == 0, stats2
+
+    # raising the cap finishes the remaining case
+    stats3 = run_batch("MS", root=root, progress=False, lockstep=True,
+                       max_batch=1, max_success=2)
+    assert stats3["success"] == 1, stats3
+    with open(os.path.join(plots, "sim_results.json")) as fh:
+        entries = {e["config_filename"]: e for e in json.load(fh)}
+    assert all(entries[n]["status"] == "Success" for n in names)
 
 
 def test_device_resize_matches_host_path(tmp_path):
@@ -454,6 +493,83 @@ def test_f16_retry_recovers_quantization_failure(tmp_path, monkeypatch):
         entries = {e["config_filename"]: e for e in json.load(fh)}
     assert entries[names[0]]["status"] == "Success"
     assert entries[names[1]]["status"] == "Success"
+    # a recovered case must not keep the stale pass-1 failure reason
+    # (ADVICE r3 finding #1)
+    assert "reason" not in entries[names[0]], entries[names[0]]
+
+
+def test_f16_retry_crash_safe_between_passes(tmp_path, monkeypatch):
+    """An interruption between the f16 pass and the f32 retry leaves the
+    quantization failure as RetryPending -- re-run on resume, never
+    permanently Failed (ADVICE r3 finding #2)."""
+    from lbm2d_tpu.pipeline import batch_datagen
+
+    root = str(tmp_path)
+    names = make_two_case_project(root)
+    base_fake = _fake_group_runner(fail_f16={names[0]})
+
+    def crashing_fake(members, *args, **kwargs):
+        if not kwargs.get("f16_state", False):
+            raise KeyboardInterrupt  # crash as the retry pass starts
+        return base_fake(members, *args, **kwargs)
+
+    monkeypatch.setattr(batch_datagen, "run_lockstep_group", crashing_fake)
+    try:
+        run_batched("LockProj", max_batch=8, root=root, progress=False,
+                    f16_state=True, f16_retry=True)
+        assert False, "expected the injected crash"
+    except KeyboardInterrupt:
+        pass
+
+    plots = os.path.join(root, "outputs", "LockProj", "plots")
+    with open(os.path.join(plots, "sim_results.json")) as fh:
+        entries = {e["config_filename"]: e for e in json.load(fh)}
+    # the invariant: between the f16 pass and the retry decision the case is
+    # never Failed -- it is RetryPending (crash before the retry pass claims
+    # it) or Running (crash inside the retry pass), both re-run on resume
+    assert entries[names[0]]["status"] in ("RetryPending", "Running"), (
+        entries[names[0]])
+    assert entries[names[1]]["status"] == "Success"
+
+    # resume: RetryPending is re-run (f16 first; healthy now) and ends clean
+    monkeypatch.setattr(
+        batch_datagen, "run_lockstep_group", _fake_group_runner())
+    stats = run_batched("LockProj", max_batch=8, root=root, progress=False,
+                        f16_state=True, f16_retry=True)
+    assert stats["success"] == 1 and stats["skipped"] == 1, stats
+    with open(os.path.join(plots, "sim_results.json")) as fh:
+        entries = {e["config_filename"]: e for e in json.load(fh)}
+    assert entries[names[0]]["status"] == "Success"
+    assert "reason" not in entries[names[0]]
+
+    # variant: crash BEFORE the retry pass claims anything (between the two
+    # passes) -- the failure must be persisted as RetryPending exactly
+    root2 = str(tmp_path / "pre")
+    names2 = make_two_case_project(root2)
+    monkeypatch.setattr(
+        batch_datagen, "run_lockstep_group",
+        _fake_group_runner(fail_f16={names2[0]}))
+    real_group_configs = batch_datagen.group_configs
+    n_calls = {"n": 0}
+
+    def crashing_group_configs(*args, **kwargs):
+        n_calls["n"] += 1
+        if n_calls["n"] == 2:  # the retry pass's regrouping
+            raise KeyboardInterrupt
+        return real_group_configs(*args, **kwargs)
+
+    monkeypatch.setattr(
+        batch_datagen, "group_configs", crashing_group_configs)
+    try:
+        run_batched("LockProj", max_batch=8, root=root2, progress=False,
+                    f16_state=True, f16_retry=True)
+        assert False, "expected the injected crash"
+    except KeyboardInterrupt:
+        pass
+    with open(os.path.join(
+            root2, "outputs", "LockProj", "plots", "sim_results.json")) as fh:
+        entries = {e["config_filename"]: e for e in json.load(fh)}
+    assert entries[names2[0]]["status"] == "RetryPending", entries[names2[0]]
 
 
 def test_f16_retry_keeps_physical_failures_failed(tmp_path, monkeypatch):
