@@ -60,7 +60,7 @@ def cylinder_case(nx=800, ny=400, diameter=40, u_target=0.08, re=150.0):
 
 
 def dfg_case(ny=164, u_max=0.1, re=100.0, obstacle="bounce_back",
-             inlet="equilibrium"):
+             inlet="equilibrium", nx_cap=None):
     """The true DFG-2D cylinder benchmark (Schaefer-Turek 2D-2, Re = 100).
 
     Geometry: 2.2 m x 0.41 m channel, cylinder D = 0.1 m centered at
@@ -84,6 +84,11 @@ def dfg_case(ny=164, u_max=0.1, re=100.0, obstacle="bounce_back",
     # profile's zeros.
     scale = (ny - 1) / 0.41  # px per metre
     nx = int(round(2.2 * scale)) + 1
+    if nx_cap is not None:
+        # truncated channel for the cheap CI tier: the near-wake St/Cd don't
+        # need the full 2.2 m run-out; keep >= ~10 D downstream of the
+        # cylinder so the outlet never touches the shedding region
+        nx = min(nx, int(nx_cap))
     diameter = int(round(0.1 * scale))
     u_mean = (2.0 / 3.0) * u_max
     nu = u_mean * diameter / re
@@ -139,10 +144,12 @@ def run_validation(
     mode: str = "pressure",
     obstacle: str = "bounce_back",
     inlet: str = "equilibrium",
+    nx_cap: int | None = None,
 ) -> Dict:
     if mode == "dfg":
         cfg, mask, diameter = dfg_case(
-            ny=ny, u_max=u_target, re=re, obstacle=obstacle, inlet=inlet
+            ny=ny, u_max=u_target, re=re, obstacle=obstacle, inlet=inlet,
+            nx_cap=nx_cap,
         )
         nx = cfg["simulation"]["nx"]
     else:
@@ -297,6 +304,11 @@ def main() -> None:
         "the prescribed parabola exactly)",
     )
     ap.add_argument(
+        "--nx_cap", type=int, default=None,
+        help="truncate the dfg-mode channel to at most this many columns "
+        "(cheap smoke runs; keep >= ~10 D downstream of the cylinder)",
+    )
+    ap.add_argument(
         "--out", default=None,
         help="append the result to this JSON file (machine-readable "
         "benchmark artifact, e.g. docs/benchmarks/dfg2d_results.json)",
@@ -309,7 +321,7 @@ def main() -> None:
         steps=args.steps, nx=args.nx, ny=args.ny,
         diameter=args.diameter, mode=args.mode, chunk=args.chunk,
         u_target=args.u if args.u is not None else u_default,
-        obstacle=args.obstacle, inlet=args.inlet,
+        obstacle=args.obstacle, inlet=args.inlet, nx_cap=args.nx_cap,
     )
     print(json.dumps(res, indent=2))
     if args.out:
