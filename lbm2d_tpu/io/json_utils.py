@@ -3,11 +3,33 @@ io/NumpySafeJSONEncoder.py:4-30 equivalent) plus atomic-write helpers."""
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from typing import Any
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def file_lock(path: str):
+    """Exclusive advisory lock on ``path + '.lock'`` serializing
+    read-modify-write cycles across processes (multi-worker batch
+    coordination). flock where available; degrades to lock-free
+    single-process semantics elsewhere."""
+    lock_path = path + ".lock"
+    os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX
+            pass
+        yield
+    finally:
+        os.close(fd)  # closing drops the flock
 
 
 class NumpySafeJSONEncoder(json.JSONEncoder):

@@ -33,19 +33,10 @@ def store_lock(sim_results_path: str):
     reference io/sim_results_io.py:55-64). flock is used when available
     (Linux/macOS, incl. modern NFS); elsewhere this degrades to the
     reference's lock-free behavior."""
-    lock_path = sim_results_path + ".lock"
-    os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
-    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
-    try:
-        try:
-            import fcntl
+    from .json_utils import file_lock
 
-            fcntl.flock(fd, fcntl.LOCK_EX)
-        except ImportError:  # non-POSIX: best-effort, single-worker semantics
-            pass
+    with file_lock(sim_results_path):
         yield
-    finally:
-        os.close(fd)  # closing drops the flock
 
 
 def load_config_meta(config_meta_path: str) -> Dict[str, dict]:
@@ -60,10 +51,13 @@ def load_config_meta(config_meta_path: str) -> Dict[str, dict]:
 
 
 def init_sim_results(config_meta: Dict[str, dict], sim_results_path: str) -> None:
-    """Seed sim_results.json from config_meta if absent; never overwrite."""
-    if os.path.exists(sim_results_path):
-        return
-    write_json_atomic(list(config_meta.values()), sim_results_path)
+    """Seed sim_results.json from config_meta if absent; never overwrite.
+    The lock closes the check-then-write race between concurrent workers
+    (a late seed write would erase an early worker's first status)."""
+    with store_lock(sim_results_path):
+        if os.path.exists(sim_results_path):
+            return
+        write_json_atomic(list(config_meta.values()), sim_results_path)
 
 
 def get_status_map(sim_results_path: str) -> Dict[str, str]:

@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, List
 
-from .json_utils import read_json, write_json_atomic
+from .json_utils import file_lock, read_json, write_json_atomic
 
 
 def save_summary_file(summary_data: List[Dict], output_path: str) -> None:
@@ -22,16 +22,18 @@ def init_summary_file(output_path: str) -> None:
 
 
 def update_summary_file(summary_entry: Dict, output_path: str) -> None:
-    """Append or replace the entry with the same case_name."""
-    data = read_json(output_path, default=[]) or []
-    target = summary_entry.get("case_name")
-    for i, entry in enumerate(data):
-        if entry.get("case_name") == target:
-            data[i] = summary_entry
-            break
-    else:
-        data.append(summary_entry)
-    save_summary_file(data, output_path)
+    """Append or replace the entry with the same case_name. The lock makes
+    the read-modify-write safe under concurrent batch workers."""
+    with file_lock(output_path):
+        data = read_json(output_path, default=[]) or []
+        target = summary_entry.get("case_name")
+        for i, entry in enumerate(data):
+            if entry.get("case_name") == target:
+                data[i] = summary_entry
+                break
+        else:
+            data.append(summary_entry)
+        save_summary_file(data, output_path)
 
 
 def build_summary_entry(

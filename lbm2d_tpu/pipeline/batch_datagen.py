@@ -105,8 +105,12 @@ def run_lockstep_group(
     fetch_overlap: bool = True,
     f16_state: bool = False,
     yuv_video: bool = False,
+    heartbeat_cb: Optional[Any] = None,
 ) -> List[Dict[str, Any]]:
     """Run one same-shape group in lockstep; returns per-case summary entries.
+
+    ``heartbeat_cb``: zero-arg callable invoked at each progress interval
+    (multi-worker claim heartbeat -- see pipeline/coordination.py).
 
     ``yuv_video`` fetches video frames as YUV 4:2:0 (Y + subsampled UV)
     instead of RGB -- half the bytes per frame for encoder-equivalent
@@ -450,6 +454,8 @@ def run_lockstep_group(
             # epilogues) -- transfers run at the idle-link rate here
             fetched = fetch_pending()
         prof["fetch"] += time.perf_counter() - tp4
+        if heartbeat_cb is not None and steps % (chunk * 50) == 0:
+            heartbeat_cb()
         if progress and steps % (chunk * 50) == 0:
             done = steps / max_steps
             line = f"  [lockstep x{n_cases}] {steps}/{max_steps} ({done:.0%})"
@@ -553,8 +559,22 @@ def run_batched(
     yuv_video: bool = False,
     f16_retry: bool = False,
     max_success: Optional[int] = None,
+    coordinate: bool = False,
+    reclaim_stale_s: Optional[float] = None,
+    worker_id: Optional[str] = None,
 ) -> Dict[str, int]:
     """Run every pending case of a project on the lockstep engine.
+
+    ``coordinate``: multi-worker mode (SURVEY §2.2's "independent processes
+    over DCN"). N invocations -- processes on one host or across hosts
+    sharing the project filesystem -- split the pending cases: each case is
+    claimed via atomic O_EXCL file creation before it joins a lockstep
+    group, statuses merge under a file lock, and every worker's final
+    NPZ/summary build is idempotent so the last worker out writes the
+    complete matrix. ``reclaim_stale_s`` additionally lets a worker steal
+    claims whose heartbeat is older than that many seconds (crashed remote
+    workers; same-host dead pids are reclaimed automatically) -- set it
+    well above a group's wall time.
 
     ``f16_retry`` (with ``f16_state``): cases that fail under the lossy
     16-bit deviation state are re-run once in exact f32 before being
@@ -606,6 +626,26 @@ def run_batched(
     )
     stats = {"success": 0, "failed": 0, "skipped": len(skip)}
 
+    claims = None
+    if coordinate:
+        from .coordination import ClaimStore
+
+        claims = ClaimStore(
+            output_dirs["plots"], worker_id=worker_id, stale_s=reclaim_stale_s
+        )
+        print(f"[BatchDatagen] multi-worker mode, worker={claims.worker_id}")
+
+    def _global_success() -> int:
+        """Project-wide Success count; re-read in multi-worker mode (other
+        workers advance it), local tally otherwise."""
+        if claims is None:
+            return already_success + stats["success"]
+        return sum(
+            1
+            for s in results_store.get_status_map(sim_results_path).values()
+            if s == results_store.STATUS_SUCCESS
+        )
+
     def _run_groups(groups, use_f16, label="",
                     fail_status=results_store.STATUS_FAILED,
                     stop_at_max=False):
@@ -615,24 +655,45 @@ def run_batched(
             if (
                 stop_at_max
                 and max_success is not None
-                and already_success + stats["success"] >= max_success
+                and _global_success() >= max_success
             ):
                 left = sum(len(m) for m in groups[gi:])
-                print(f"\n[BatchDatagen] reached max_success={max_success} "
-                      f"({already_success} prior + {stats['success']} new); "
-                      f"leaving {left} case(s) Pending.")
+                print(f"\n[BatchDatagen] reached max_success={max_success}; "
+                      f"leaving {left} case(s) for later/other workers.")
                 break
+            if claims is not None:
+                # another worker may have finished a case since our scan:
+                # terminal cases are skipped, the rest are claimed; members
+                # another worker owns right now are simply not ours
+                status_now = results_store.get_status_map(sim_results_path)
+                members = [
+                    m for m in members
+                    if status_now.get(m[0]) not in (
+                        results_store.STATUS_SUCCESS,
+                        results_store.STATUS_FAILED,
+                    )
+                    and claims.claim(m[0])
+                ]
+                if not members:
+                    continue
             names = [f for f, _ in members]
             print(f"\n--- {label}Group {gi + 1}/{len(groups)}: "
                   f"{len(members)} cases")
+            run_extra = {}
+            if claims is not None:
+                run_extra["heartbeat_cb"] = claims.heartbeat
             for fname in names:
+                extra = (
+                    {"worker": claims.worker_id} if claims is not None else None
+                )
                 results_store.set_status(
-                    fname, results_store.STATUS_RUNNING, sim_results_path)
+                    fname, results_store.STATUS_RUNNING, sim_results_path,
+                    extra_fields=extra)
             entries = run_lockstep_group(
                 members, project_paths, output_dirs, progress, device_resize,
                 runner=runner, n_devices=n_devices, f16_transfer=f16_transfer,
                 video=video, fetch_overlap=fetch_overlap, f16_state=use_f16,
-                yuv_video=yuv_video,
+                yuv_video=yuv_video, **run_extra,
             )
             for entry in entries:
                 fname = entry["config_filename"]
@@ -653,6 +714,13 @@ def run_batched(
                     stats["failed"] += 1
                     failed_names.append(fname)
                 summary.update_summary_file(entry, legacy_summary_path)
+                if claims is not None and (
+                    entry.get("status") == "Success"
+                    or fail_status != results_store.STATUS_RETRY_PENDING
+                ):
+                    # terminal -> the claim's job is done; RetryPending keeps
+                    # its claim so this worker's own f32 retry owns the case
+                    claims.release(fname)
         return failed_names
 
     # With the retry armed, pass-1 f16 failures persist as RetryPending: a
@@ -679,6 +747,8 @@ def run_batched(
         stats["failed"] -= len(failed)
         stats["f16_retried"] = len(failed)
         stats["f16_recovered"] = recovered
+    if claims is not None:
+        claims.release_all()
     try:
         build_npz(legacy_summary_path, npz_path)
     except Exception as exc:
@@ -741,6 +811,23 @@ def main() -> None:
         "before recording them Failed (recovers quantization-induced "
         "breaker trips; physically divergent cases still fail)",
     )
+    ap.add_argument(
+        "--max_success", type=int, default=None,
+        help="stop launching groups once the project has N total successes "
+        "(group-granular; prior runs count)",
+    )
+    ap.add_argument(
+        "--coordinate", action="store_true",
+        help="multi-worker mode: claim cases via atomic files so N "
+        "concurrent invocations sharing this project (processes or hosts "
+        "on a shared filesystem) split the work without double-running",
+    )
+    ap.add_argument(
+        "--reclaim_stale", type=float, default=None, metavar="SECONDS",
+        help="with --coordinate: steal claims whose heartbeat is older "
+        "than SECONDS (crashed cross-host workers; same-host dead pids "
+        "are reclaimed automatically). Set well above a group's wall time",
+    )
     args = ap.parse_args()
     run_batched(
         args.project_name, args.max_batch, root=args.root,
@@ -749,6 +836,8 @@ def main() -> None:
         f16_transfer=args.f16_transfer, video=not args.no_video,
         fetch_overlap=not args.fetch_at_idle, f16_state=args.f16_state,
         yuv_video=args.yuv_video, f16_retry=args.f16_retry,
+        max_success=args.max_success, coordinate=args.coordinate,
+        reclaim_stale_s=args.reclaim_stale,
     )
 
 

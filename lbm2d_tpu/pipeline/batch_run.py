@@ -68,8 +68,15 @@ def run_batch(
     f16_state: bool = False,
     yuv_video: bool = False,
     f16_retry: bool = False,
+    coordinate: bool = False,
+    reclaim_stale_s: float | None = None,
 ) -> Dict[str, int]:
     """Run every pending case of a project (reference batch_run contract).
+
+    ``coordinate``: multi-worker mode -- N concurrent invocations sharing
+    this project split the pending cases via atomic per-case claim files
+    (pipeline/coordination.py); statuses merge under a file lock. Works on
+    both the serial loop and the lockstep engine.
 
     ``lockstep=True`` delegates execution to the vmap/sequential-Pallas
     lockstep engine (pipeline/batch_datagen.run_batched), which shares this
@@ -93,7 +100,8 @@ def run_batch(
             device_resize=device_resize, f16_transfer=f16_transfer,
             video=video, fetch_overlap=fetch_overlap, f16_state=f16_state,
             yuv_video=yuv_video, f16_retry=f16_retry,
-            max_success=max_success,
+            max_success=max_success, coordinate=coordinate,
+            reclaim_stale_s=reclaim_stale_s,
         )
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -120,6 +128,13 @@ def run_batch(
         print(f"[Batch] max_success={max_success} already reached; nothing to do.")
         return {"success": 0, "skipped": len(skip_set), "failed": 0}
 
+    claims = None
+    if coordinate:
+        from .coordination import ClaimStore
+
+        claims = ClaimStore(output_dirs["plots"], stale_s=reclaim_stale_s)
+        print(f"[Batch] multi-worker mode, worker={claims.worker_id}")
+
     new_success = new_failed = new_skip = 0
     for i, cfg_file in enumerate(config_files):
         full_config_path = os.path.join(project_paths["configs"], cfg_file)
@@ -131,10 +146,28 @@ def run_batch(
         if max_success is not None and already_success + new_success >= max_success:
             print(f"[Batch] reached max_success={max_success}; stopping.")
             break
+        if claims is not None:
+            # skip cases other workers finished since our scan, then claim
+            status_now = results_store.get_status_map(sim_results_path).get(
+                cfg_file
+            )
+            if status_now in (
+                results_store.STATUS_SUCCESS, results_store.STATUS_FAILED
+            ):
+                new_skip += 1
+                continue
+            if not claims.claim(cfg_file):
+                continue  # another live worker owns it
+            claims.heartbeat()
 
         print(f"\n--- Job {job_id}/{len(config_files)}: {cfg_file}")
         # Crash-safe: mark Running before starting.
-        results_store.set_status(cfg_file, results_store.STATUS_RUNNING, sim_results_path)
+        results_store.set_status(
+            cfg_file, results_store.STATUS_RUNNING, sim_results_path,
+            extra_fields=(
+                {"worker": claims.worker_id} if claims is not None else None
+            ),
+        )
         try:
             cfg = load_config(full_config_path)
             sim_cfg = cfg.get("simulation", {})
@@ -192,6 +225,8 @@ def run_batch(
             new_failed += 1
 
         summary.update_summary_file(entry, legacy_summary_path)
+        if claims is not None:
+            claims.release(cfg_file)
         tag = "OK" if entry.get("status") == "Success" else "FAIL"
         print(f"  [{tag}] {cfg_file}  wall_time={wall_time_s:.1f}s")
 
@@ -249,6 +284,15 @@ def main() -> None:
                     help="re-run cases that fail under --f16_state once in "
                     "exact f32 before recording them Failed (recovers "
                     "quantization-induced breaker trips)")
+    ap.add_argument("--coordinate", action="store_true",
+                    help="multi-worker mode: claim cases via atomic files "
+                    "so N concurrent invocations sharing this project "
+                    "split the work without double-running")
+    ap.add_argument("--reclaim_stale", type=float, default=None,
+                    metavar="SECONDS",
+                    help="with --coordinate: steal claims whose heartbeat "
+                    "is older than SECONDS (crashed cross-host workers); "
+                    "set well above a case/group wall time")
     args = ap.parse_args()
     run_batch(
         args.project_name, args.max_success, root=args.root,
@@ -256,7 +300,8 @@ def main() -> None:
         max_batch=args.max_batch, f16_transfer=args.f16_transfer,
         video=not args.no_video, fetch_overlap=not args.fetch_at_idle,
         f16_state=args.f16_state, yuv_video=args.yuv_video,
-        f16_retry=args.f16_retry,
+        f16_retry=args.f16_retry, coordinate=args.coordinate,
+        reclaim_stale_s=args.reclaim_stale,
     )
 
 
