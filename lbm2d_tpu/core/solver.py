@@ -198,13 +198,11 @@ def make_params(
         raise ValueError(f"unknown boundary_condition.obstacle {obstacle!r}")
     bouzidi_q = None
     if obstacle == "bounce_back_bouzidi":
+        # obstacle_geometry gives the analytic surface (cylinder / rect /
+        # triangle / polygon / union); without one the q planes derive from
+        # the mask's own signed-distance field, so Bouzidi runs on the full
+        # production mask menu of tools/map_generators.py
         geom = bc.get("obstacle_geometry")
-        if geom is None:
-            raise ValueError(
-                "obstacle 'bounce_back_bouzidi' needs "
-                "boundary_condition.obstacle_geometry (analytic shape for "
-                "the sub-grid wall distances)"
-            )
         np_dtype = np.dtype(jnp.dtype(dtype).name).type
         bouzidi_q = jnp.asarray(
             bouzidi_q_planes(np.asarray(mask), geom, np_dtype), dtype
@@ -242,31 +240,172 @@ def parabolic_profile(ny: int, u_max: float, dtype=np.float64) -> np.ndarray:
     return (4.0 * dtype(u_max) * y * (h - y) / (h * h)).astype(dtype)
 
 
+def _link_t_cylinder(geom: dict, dx, dy, ex: int, ey: int) -> np.ndarray:
+    """Smallest t in (0, 1] where cell-center + t e hits the circle; inf
+    where the link misses it.  dx/dy are cell-center offsets from (cx, cy)."""
+    r = float(geom["r"])
+    cc = dx * dx + dy * dy - r * r
+    a = float(ex * ex + ey * ey)
+    b = 2.0 * (dx * ex + dy * ey)
+    disc = b * b - 4.0 * a * cc
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    t2 = (-b + sq) / (2.0 * a)
+    in1 = (disc >= 0.0) & (t1 > 0.0) & (t1 <= 1.0)
+    in2 = (disc >= 0.0) & (t2 > 0.0) & (t2 <= 1.0)
+    return np.where(in1, t1, np.where(in2, t2, np.inf))
+
+
+def _link_t_polygon(verts: np.ndarray, xx, yy, ex: int, ey: int) -> np.ndarray:
+    """Smallest t in (0, 1] where cell-center + t e crosses any polygon
+    edge; inf where the link misses the polygon.  Solves
+    c + t d = p + s (pn - p) per edge via 2D cross products."""
+    t_min = np.full(xx.shape, np.inf)
+    verts = np.asarray(verts, np.float64)
+    n = len(verts)
+    for i in range(n):
+        px, py = verts[i]
+        qx, qy = verts[(i + 1) % n]
+        egx, egy = qx - px, qy - py
+        denom = ex * egy - ey * egx  # cross(d, edge)
+        if abs(denom) < 1e-12:
+            continue  # link parallel to this edge; neighbors cover corners
+        rx = px - xx
+        ry = py - yy
+        t = (rx * egy - ry * egx) / denom  # cross(p-c, e) / cross(d, e)
+        s = (rx * ey - ry * ex) / denom  # cross(p-c, d) / cross(d, e)
+        hit = (t > 0.0) & (t <= 1.0) & (s >= 0.0) & (s <= 1.0)
+        t_min = np.where(hit & (t < t_min), t, t_min)
+    return t_min
+
+
+def _link_t_sdf(phi: np.ndarray, xx, yy, ex: int, ey: int,
+                samples: int = 32) -> np.ndarray:
+    """First zero crossing of a bilinearly-interpolated signed-distance
+    field along each link (mask-derived geometry: composite shapes with no
+    analytic description).  phi > 0 in fluid, < 0 in solid; the zero level
+    of the cell-center EDT sits midway between adjacent fluid/solid
+    centers, so flat walls reduce to q = 1/2 (half-way) as they should."""
+    from scipy.ndimage import map_coordinates
+
+    h, w = phi.shape
+    ts = np.linspace(0.0, 1.0, samples + 1)
+    prev_phi = phi.copy()
+    t_hit = np.full(phi.shape, np.inf)
+    for i in range(1, samples + 1):
+        t = ts[i]
+        cy = np.clip(yy + t * ey, 0, h - 1)
+        cx = np.clip(xx + t * ex, 0, w - 1)
+        cur = map_coordinates(phi, [cy, cx], order=1, mode="nearest")
+        # first crossing only: cells whose t_hit is already set keep it
+        crossing = (prev_phi > 0.0) & (cur <= 0.0) & np.isinf(t_hit)
+        denom = prev_phi - cur
+        frac = np.where(denom > 1e-12, prev_phi / np.maximum(denom, 1e-12), 0.0)
+        t_cross = ts[i - 1] + frac * (ts[i] - ts[i - 1])
+        t_hit = np.where(crossing, t_cross, t_hit)
+        prev_phi = cur
+    return t_hit
+
+
+def signed_distance(mask: np.ndarray) -> np.ndarray:
+    """Pseudo signed distance whose zero level approximates the surface the
+    binary mask was rasterized from: > 0 in fluid, < 0 in solid.
+
+    Construction: 3x3 volume-fraction smoothing, phi = 1/2 - box3(mask).
+    For a half-plane wall this recovers the wall line exactly (the box
+    average of a linear indicator is linear through the midline); on
+    rasterized circles it measured ~30-40% lower q error than an EDT zero
+    level (which pins to the staircase midline, q error means 0.22 vs 0.15
+    at D = 38).  Near-boundary accuracy only -- NOT a metric distance far
+    from the wall, which is all the q-plane crossing search samples."""
+    from scipy.ndimage import uniform_filter
+
+    solid = np.asarray(mask) > 0.5
+    if not solid.any():
+        return np.full(solid.shape, np.inf)
+    return 0.5 - uniform_filter(solid.astype(np.float64), 3, mode="nearest")
+
+
+def _geom_link_t(geom: dict, mask: np.ndarray, xx, yy, ex: int, ey: int,
+                 _phi_cache: dict = None) -> np.ndarray:
+    shape = str(geom.get("shape", "cylinder"))
+    if shape == "cylinder":
+        return _link_t_cylinder(
+            geom, xx - float(geom["cx"]), yy - float(geom["cy"]), ex, ey
+        )
+    if shape == "polygon":
+        return _link_t_polygon(np.asarray(geom["vertices"]), xx, yy, ex, ey)
+    if shape == "rect":
+        from ..tools.shapes import rect_points_f
+
+        verts = rect_points_f(
+            float(geom["cx"]), float(geom["cy"]), float(geom["w"]),
+            float(geom["h"]), float(geom.get("angle_deg", 0.0)),
+        )
+        return _link_t_polygon(verts, xx, yy, ex, ey)
+    if shape == "triangle":
+        from ..tools.shapes import triangle_points_f
+
+        verts = triangle_points_f(
+            float(geom["cx"]), float(geom["cy"]), float(geom["size"]),
+            float(geom.get("angle_deg", 0.0)),
+            geom.get("orientation", "vertex_left"),
+        )
+        return _link_t_polygon(verts, xx, yy, ex, ey)
+    if shape == "union":
+        t = np.full(xx.shape, np.inf)
+        for part in geom["parts"]:
+            t = np.minimum(
+                t, _geom_link_t(part, mask, xx, yy, ex, ey, _phi_cache)
+            )
+        return t
+    if shape == "sdf":
+        if _phi_cache is not None and "phi" in _phi_cache:
+            phi = _phi_cache["phi"]
+        else:
+            phi = signed_distance(mask)
+            if _phi_cache is not None:
+                _phi_cache["phi"] = phi
+        return _link_t_sdf(phi, xx, yy, ex, ey)
+    raise ValueError(f"unsupported obstacle_geometry {geom!r}")
+
+
 def bouzidi_q_planes(
-    mask: np.ndarray, geom: dict, dtype=np.float32
+    mask: np.ndarray, geom: Optional[dict] = None, dtype=np.float32
 ) -> np.ndarray:
     """[8, H, W] sub-grid wall fractions for Bouzidi interpolated bounce-back.
 
     Plane j-1 (j = 1..8) holds, for every fluid cell c whose +e_j neighbor
-    is solid, the smallest t in (0, 1] with c + t e_j on the analytic wall
-    surface.  Cells where the fraction is undefined (no analytic root --
-    staircase mask corners -- or a q < 1/2 link whose upstream interpolation
-    cell c - e_j is itself solid, which the two-point formula needs fluid)
-    fall back to q = 1/2, where the scheme reduces exactly to half-way
-    bounce-back.
+    is solid, the smallest t in (0, 1] with c + t e_j on the wall surface.
+    Cells where the fraction is undefined (no root -- staircase mask
+    corners -- or a q < 1/2 link whose upstream interpolation cell c - e_j
+    is itself solid, which the two-point formula needs fluid) fall back to
+    q = 1/2, where the scheme reduces exactly to half-way bounce-back.
 
-    ``geom``: {"shape": "cylinder", "cx": float, "cy": float, "r": float}
-    in lattice (cell-center) coordinates.
+    ``geom`` (lattice cell-center coordinates) describes the ANALYTIC
+    surface; the full production shape menu of tools/map_generators.py is
+    covered:
+
+    * ``{"shape": "cylinder", "cx", "cy", "r"}``
+    * ``{"shape": "rect", "cx", "cy", "w", "h", "angle_deg"}`` (rotated
+      rectangle, cv2.boxPoints convention -- tools/shapes.rect_points_f)
+    * ``{"shape": "triangle", "cx", "cy", "size", "angle_deg",
+      "orientation"}`` (equilateral, tools/shapes.triangle_points_f)
+    * ``{"shape": "polygon", "vertices": [[x, y], ...]}``
+    * ``{"shape": "union", "parts": [geom, ...]}`` (composite fields;
+      q = min over parts)
+    * ``{"shape": "sdf"}`` or ``geom=None``: no analytic description --
+      the surface is the zero level of the bilinearly-interpolated signed
+      distance of the mask itself (exact q = 1/2 on flat staircase walls,
+      smoothed fractions on oblique/curved ones)
     """
-    if str(geom.get("shape", "cylinder")) != "cylinder":
-        raise ValueError(f"unsupported obstacle_geometry {geom!r}")
-    cx, cy, r = float(geom["cx"]), float(geom["cy"]), float(geom["r"])
+    if geom is None:
+        geom = {"shape": "sdf"}
     solid = np.asarray(mask) > 0.5
     h, w = solid.shape
     yy, xx = np.mgrid[0:h, 0:w]
-    dx = xx.astype(np.float64) - cx
-    dy = yy.astype(np.float64) - cy
-    cc = dx * dx + dy * dy - r * r  # quadratic constant term per cell
+    xx = xx.astype(np.float64)
+    yy = yy.astype(np.float64)
 
     def shifted_solid(ddy, ddx):
         """solid[y + ddy, x + ddx], out-of-bounds -> True (treat the domain
@@ -280,19 +419,13 @@ def bouzidi_q_planes(
         ]
         return out
 
+    phi_cache: dict = {}
     q = np.full((8, h, w), 0.5, np.float64)
     for j in range(1, 9):
         ex, ey = int(E[j, 0]), int(E[j, 1])
         link = (~solid) & shifted_solid(ey, ex)  # fluid c, solid c + e_j
-        a = float(ex * ex + ey * ey)
-        b = 2.0 * (dx * ex + dy * ey)
-        disc = b * b - 4.0 * a * cc
-        sq = np.sqrt(np.maximum(disc, 0.0))
-        t1 = (-b - sq) / (2.0 * a)
-        t2 = (-b + sq) / (2.0 * a)
-        in1 = (disc >= 0.0) & (t1 > 0.0) & (t1 <= 1.0)
-        in2 = (disc >= 0.0) & (t2 > 0.0) & (t2 <= 1.0)
-        t = np.where(in1, t1, np.where(in2, t2, 0.5))
+        t = _geom_link_t(geom, mask, xx, yy, ex, ey, phi_cache)
+        t = np.where(np.isfinite(t), t, 0.5)  # no root -> half-way fallback
         # the q < 1/2 two-point formula interpolates with cell c - e_j;
         # if that cell is solid the link degrades to half-way
         behind_solid = shifted_solid(-ey, -ex)

@@ -118,8 +118,49 @@ class KernelBudgets:
     physical_vmem_bytes: int
 
 
+# measured-budget override (tools_calibrate_specs.py); None = derive from
+# the generation spec. Precedence: set_budgets_override > LBM2D_BUDGETS_JSON
+# > spec scaling.
+_budgets_override: "KernelBudgets | None" = None
+
+
+def set_budgets_override(b: "KernelBudgets | None") -> None:
+    """Force measured kernel budgets (calibration sweeps / tests)."""
+    global _budgets_override
+    _budgets_override = b
+    budgets.cache_clear()
+
+
+def _budgets_from_json(path: str) -> "KernelBudgets | None":
+    import json
+
+    try:
+        with open(path, encoding="utf-8") as fh:
+            data = json.load(fh)
+        fields = {
+            f.name: int(data["budgets"][f.name])
+            for f in dataclasses.fields(KernelBudgets)
+        }
+        return KernelBudgets(**fields)
+    except (OSError, KeyError, TypeError, ValueError) as exc:
+        import sys
+
+        print(f"[device_specs] ignoring invalid budgets override {path}: "
+              f"{exc}", file=sys.stderr)
+        return None
+
+
 @functools.lru_cache(maxsize=None)
 def budgets() -> KernelBudgets:
+    if _budgets_override is not None:
+        return _budgets_override
+    import os
+
+    path = os.environ.get("LBM2D_BUDGETS_JSON")
+    if path:
+        loaded = _budgets_from_json(path)
+        if loaded is not None:
+            return loaded
     return budgets_for(current_spec())
 
 

@@ -69,6 +69,13 @@ def build_config(
     # Zou-He pressure boundaries carry a dummy inlet velocity value
     config["boundary_condition"]["value"] = [[0.05, 0.0]] + [[0.0, 0.0]] * 3
     config["mask"]["path"] = mask_ctx["mask_path"]
+    # generator-recorded analytic shapes (padded-domain coordinates): a
+    # template whose obstacle scheme is bounce_back_bouzidi then derives
+    # exact sub-grid wall distances; harmless for the other schemes
+    if mask_ctx.get("obstacle_geometry") is not None:
+        config["boundary_condition"]["obstacle_geometry"] = mask_ctx[
+            "obstacle_geometry"
+        ]
 
     config_filename = f"{mask_stem}_cfg_Nu{nu_str}.yaml"
     full_path = os.path.join(sim_ctx["output_dir"], config_filename)

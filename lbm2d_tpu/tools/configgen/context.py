@@ -61,6 +61,9 @@ def build_mask_context(mask_path: str, meta_entry: Dict[str, Any]) -> Dict[str, 
         "pad_top": int(meta_entry["pad_top"]),
         "pad_bot": int(meta_entry["pad_bot"]),
         "pad_left": int(meta_entry["pad_left"]),
+        # optional analytic shape list from the mask generator (padded-domain
+        # coordinates) -- threaded into the case YAML for Bouzidi q planes
+        "obstacle_geometry": meta_entry.get("obstacle_geometry"),
         "l_char": None,
         "max_blockage": None,
     }

@@ -53,15 +53,23 @@ class _ShapePlacer:
         self.H = height
         self.rng = rng or random.Random()
         self.grid = np.zeros((height, width), dtype=np.uint8)
+        # analytic geometry of every placed shape (core/solver.bouzidi_q_planes
+        # schema) so generated cases can run Bouzidi with exact sub-grid wall
+        # distances instead of the mask-SDF approximation
+        self.geoms: List[Dict[str, Any]] = []
 
     def reset(self) -> None:
         self.grid.fill(0)
+        self.geoms = []
 
     def sample(self, v):
         return get_sampled_value(v, self.rng)
 
     def random_rotated_rect(self, bounds: Dict[str, int], size_cfg: Dict, angle_range):
-        """Sample a rotated rect fully inside bounds; returns (points, w)."""
+        """Sample a rotated rect fully inside bounds; returns
+        (points, w, geom). Callers that rasterize the points must also
+        record ``geom`` via self.geoms.append (placement is caller-gated
+        by the SDF/blockage validators)."""
         max_w = size_cfg["w"][1] if isinstance(size_cfg["w"], list) else size_cfg["w"]
         max_h = size_cfg["h"][1] if isinstance(size_cfg["h"], list) else size_cfg["h"]
         margin = int(np.hypot(max_w, max_h) / 2) + 2
@@ -74,17 +82,43 @@ class _ShapePlacer:
         w = self.sample(size_cfg["w"])
         h = self.sample(size_cfg["h"])
         angle = self.sample(angle_range)
-        return rect_points(cx, cy, w, h, angle), w
+        geom = {"shape": "rect", "cx": float(cx), "cy": float(cy),
+                "w": float(w), "h": float(h), "angle_deg": float(angle)}
+        return rect_points(cx, cy, w, h, angle), w, geom
 
     def place_shape(self, shape_type: str, cx, cy, size, angle, orientation=None):
         if shape_type == "circle":
             add_circle(self.grid, cx, cy, size)
+            self.geoms.append({"shape": "cylinder", "cx": float(cx),
+                               "cy": float(cy), "r": float(size)})
         elif shape_type == "square":
             add_rotated_rect(self.grid, cx, cy, size * 2, size * 2, angle)
+            self.geoms.append({"shape": "rect", "cx": float(cx),
+                               "cy": float(cy), "w": float(size * 2),
+                               "h": float(size * 2),
+                               "angle_deg": float(angle)})
         elif shape_type == "triangle":
-            add_triangle(self.grid, cx, cy, size, angle, orientation or "vertex_left")
+            orient = orientation or "vertex_left"
+            add_triangle(self.grid, cx, cy, size, angle, orient)
+            self.geoms.append({"shape": "triangle", "cx": float(cx),
+                               "cy": float(cy), "size": float(size),
+                               "angle_deg": float(angle),
+                               "orientation": orient})
         else:
             raise ValueError(f"unknown shape {shape_type}")
+
+    def geometry(self, dx: float = 0.0, dy: float = 0.0) -> Optional[Dict[str, Any]]:
+        """Union geometry of all placed shapes, translated by (dx, dy)
+        (the mask-embedding pad offsets); None when nothing was placed."""
+        if not self.geoms:
+            return None
+        parts = []
+        for g in self.geoms:
+            g = dict(g)
+            g["cx"] = g["cx"] + dx
+            g["cy"] = g["cy"] + dy
+            parts.append(g)
+        return {"shape": "union", "parts": parts}
 
 
 class HybridMapGenerator(_ShapePlacer):
@@ -153,6 +187,9 @@ class HybridMapGenerator(_ShapePlacer):
         step_h = int(self.H * self.sample(cfg["step_height_ratio"]))
         step_w = int(self.W * self.sample(cfg["step_width_ratio"]))
         add_rotated_rect(self.grid, step_x + step_w / 2, step_h / 2, step_w, step_h, 0)
+        self.geoms.append({"shape": "rect", "cx": step_x + step_w / 2.0,
+                           "cy": step_h / 2.0, "w": float(step_w),
+                           "h": float(step_h), "angle_deg": 0.0})
 
         block_start = int(self.W * self.sample(cfg["block_start_ratio"]))
         bounds = {
@@ -167,11 +204,14 @@ class HybridMapGenerator(_ShapePlacer):
         for _ in range(cfg["max_attempts"]):
             if len(placed) >= rect_count:
                 break
-            pts, w = self.random_rotated_rect(bounds, cfg["rect_size"], angle_range)
+            pts, w, geom = self.random_rotated_rect(
+                bounds, cfg["rect_size"], angle_range
+            )
             if check_sdf_validity(
                 self.grid, pts, self.sample(cfg["min_distance"])
             ) and check_blockage_ratio(self.grid, pts, self.sample(cfg["max_blockage_ratio"])):
                 fill_polygon(self.grid, pts)
+                self.geoms.append(geom)
                 placed.append(w)
         return float(max([step_w] + placed)) if (placed or step_w) else 0.0
 
@@ -209,11 +249,14 @@ class UrbanMapGenerator(_ShapePlacer):
         for _ in range(cfg.get("max_attempts", 200)):
             if len(placed) >= rect_count:
                 break
-            pts, w = self.random_rotated_rect(bounds, cfg["rect_size"], angle_range)
+            pts, w, geom = self.random_rotated_rect(
+                bounds, cfg["rect_size"], angle_range
+            )
             if check_sdf_validity(
                 self.grid, pts, self.sample(cfg["min_distance"])
             ) and check_blockage_ratio(self.grid, pts, self.sample(cfg["max_blockage_ratio"])):
                 fill_polygon(self.grid, pts)
+                self.geoms.append(geom)
                 placed.append(w)
         buf = self.config["validation"]["boundary_buffer"]
         self.grid[:, :buf] = 0
@@ -260,7 +303,9 @@ class RectMaskGenerator(_ShapePlacer):
         w = self.rng.randint(self.rect_size["MIN_W"], self.rect_size["MAX_W"])
         h = self.rng.randint(self.rect_size["MIN_H"], self.rect_size["MAX_H"])
         angle = self.rng.uniform(-self.rotate_angle_max, self.rotate_angle_max)
-        return rect_points(cx, cy, w, h, angle), w
+        geom = {"shape": "rect", "cx": float(cx), "cy": float(cy),
+                "w": float(w), "h": float(h), "angle_deg": float(angle)}
+        return rect_points(cx, cy, w, h, angle), w, geom
 
     def _align_left(self) -> None:
         cols = np.where(self.grid.any(axis=0))[0]
@@ -271,18 +316,21 @@ class RectMaskGenerator(_ShapePlacer):
             return
         self.grid[:, :-shift] = self.grid[:, shift:]
         self.grid[:, -shift:] = 0
+        for g in self.geoms:  # the analytic shapes move with the pixels
+            g["cx"] -= shift
 
     def generate_sample(self, n_rects: int) -> np.ndarray:
         self.reset()
         added = attempts = 0
         while added < n_rects and attempts < self.max_attempts:
             attempts += 1
-            pts, _ = self._sample_rect()
+            pts, _, geom = self._sample_rect()
             if not check_sdf_validity(self.grid, pts, self.min_distance):
                 continue
             if not check_blockage_ratio(self.grid, pts, self.max_blockage):
                 continue
             fill_polygon(self.grid, pts)
+            self.geoms.append(geom)
             added += 1
         if added:
             self._align_left()
@@ -303,6 +351,7 @@ def metadata_entry(
     pad_top: int,
     pad_bot: int,
     m_per_px: Optional[float] = None,
+    obstacle_geometry: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     entry: Dict[str, Any] = {
         "file_name": file_name,
@@ -315,6 +364,11 @@ def metadata_entry(
     }
     if m_per_px is not None:
         entry["m_per_px"] = float(m_per_px)
+    if obstacle_geometry is not None:
+        # analytic shape list in final (padded-domain) coordinates; lets a
+        # bouzidi-obstacle template derive exact sub-grid wall distances
+        # (core/solver.bouzidi_q_planes) instead of mask-SDF approximations
+        entry["obstacle_geometry"] = obstacle_geometry
     return entry
 
 
@@ -384,6 +438,9 @@ def generate_mask_set(
             metadata_entry(
                 fname, nx, ny, pads["left"], pad_r, pad_t, pads["bot"],
                 m_per_px,
+                obstacle_geometry=g.geometry(
+                    dx=pads["left"], dy=pads["bot"]
+                ),
             )
         )
         files.append(fname)

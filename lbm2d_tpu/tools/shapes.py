@@ -23,16 +23,28 @@ def add_circle(grid: np.ndarray, cx: float, cy: float, r: float) -> None:
     grid[(x - cx) ** 2 + (y - cy) ** 2 <= r * r] = 1
 
 
-def rect_points(cx, cy, rect_w, rect_h, angle_deg) -> np.ndarray:
-    """Corner points of a rotated rectangle, cv2.boxPoints-compatible."""
+def rect_points_f(cx, cy, rect_w, rect_h, angle_deg) -> np.ndarray:
+    """Float corner points of a rotated rectangle (cv2.boxPoints convention).
+
+    The un-rounded vertices define the ANALYTIC surface for Bouzidi q-plane
+    derivation (core/solver.bouzidi_q_planes); rect_points rounds them for
+    rasterization.
+    """
     if _HAS_CV2:
-        return np.int64(cv2.boxPoints(((cx, cy), (rect_w, rect_h), angle_deg)))
+        return np.asarray(
+            cv2.boxPoints(((cx, cy), (rect_w, rect_h), angle_deg)), np.float64
+        )
     a = np.deg2rad(angle_deg)
     c, s = np.cos(a), np.sin(a)
     hw, hh = rect_w / 2.0, rect_h / 2.0
     corners = np.array([[-hw, -hh], [hw, -hh], [hw, hh], [-hw, hh]])
     rot = corners @ np.array([[c, s], [-s, c]])
-    return np.int64(rot + np.array([cx, cy]))
+    return rot + np.array([cx, cy])
+
+
+def rect_points(cx, cy, rect_w, rect_h, angle_deg) -> np.ndarray:
+    """Corner points of a rotated rectangle, cv2.boxPoints-compatible."""
+    return np.int64(rect_points_f(cx, cy, rect_w, rect_h, angle_deg))
 
 
 def fill_polygon(grid: np.ndarray, points: np.ndarray, value: int = 1) -> None:
@@ -64,9 +76,11 @@ def add_rotated_rect(grid, cx, cy, rect_w, rect_h, angle_deg) -> None:
     fill_polygon(grid, rect_points(cx, cy, rect_w, rect_h, angle_deg))
 
 
-def triangle_points(cx, cy, size, angle_deg, orientation="vertex_left") -> np.ndarray:
-    """Equilateral triangle, size = circumradius; orientation rotates the
-    base so either a vertex or an edge faces the inlet (-x)."""
+def triangle_points_f(
+    cx, cy, size, angle_deg, orientation="vertex_left"
+) -> np.ndarray:
+    """Float vertices of the equilateral triangle (analytic surface for
+    Bouzidi q-plane derivation); triangle_points rounds for rasterization."""
     base = np.deg2rad(-90.0 if orientation == "vertex_left" else 90.0)
     a = base + np.deg2rad(angle_deg)
     p = np.array(
@@ -78,7 +92,13 @@ def triangle_points(cx, cy, size, angle_deg, orientation="vertex_left") -> np.nd
     )
     c, s = np.cos(a), np.sin(a)
     rot = np.array([[c, -s], [s, c]])
-    return np.int64(p @ rot.T + np.array([cx, cy]))
+    return p @ rot.T + np.array([cx, cy])
+
+
+def triangle_points(cx, cy, size, angle_deg, orientation="vertex_left") -> np.ndarray:
+    """Equilateral triangle, size = circumradius; orientation rotates the
+    base so either a vertex or an edge faces the inlet (-x)."""
+    return np.int64(triangle_points_f(cx, cy, size, angle_deg, orientation))
 
 
 def add_triangle(grid, cx, cy, size, angle_deg, orientation="vertex_left") -> None:

@@ -92,3 +92,43 @@ def test_pipeline_threshold_uses_device_budget(monkeypatch):
     assert ps._pipeline_min_bytes() == 12 * _MB
     monkeypatch.setattr(ps, "_PIPELINE_MIN_BYTES", 1)
     assert ps._pipeline_min_bytes() == 1
+
+
+def test_budgets_json_override(tmp_path, monkeypatch):
+    """LBM2D_BUDGETS_JSON (tools_calibrate_specs.py output) wins over the
+    spec scaling; invalid files fall back; set_budgets_override wins over
+    both."""
+    import dataclasses
+    import json
+
+    from lbm2d_tpu.ops import device_specs as ds
+
+    base = ds.budgets_for(ds.current_spec())
+    fields = {f.name: getattr(base, f.name)
+              for f in dataclasses.fields(ds.KernelBudgets)}
+    fields["split_budget_floats"] = 99 * 1024 * 1024 // 4
+    path = tmp_path / "override.json"
+    path.write_text(json.dumps({"budgets": fields}))
+
+    monkeypatch.setenv("LBM2D_BUDGETS_JSON", str(path))
+    ds.budgets.cache_clear()
+    try:
+        got = ds.budgets()
+        assert got.split_budget_floats == 99 * 1024 * 1024 // 4
+        # every other field preserved
+        assert got.wide_limit_bytes == base.wide_limit_bytes
+
+        # corrupt file -> ignored, spec scaling restored
+        path.write_text("{not json")
+        ds.budgets.cache_clear()
+        assert ds.budgets() == base
+
+        # explicit override beats the env var
+        path.write_text(json.dumps({"budgets": fields}))
+        forced = dataclasses.replace(base, wide_band_rows=32)
+        ds.set_budgets_override(forced)
+        assert ds.budgets() == forced
+    finally:
+        ds.set_budgets_override(None)
+        monkeypatch.delenv("LBM2D_BUDGETS_JSON")
+        ds.budgets.cache_clear()
