@@ -108,7 +108,10 @@ def main() -> None:
     ap.add_argument("--probe", nargs=2, type=int, metavar=("NY", "NX"),
                     default=None)
     ap.add_argument("--chunks", type=int, default=6)
-    ap.add_argument("--spc", type=int, default=100)
+    ap.add_argument("--spc", type=int, default=500,
+                    help="steps per chunk; 500 keeps the per-chunk host "
+                    "sync (~15 ms through a remoted tunnel) out of the "
+                    "per-step numbers")
     ap.add_argument("--out", default="device_specs_override.json")
     ap.add_argument("--quick", action="store_true",
                     help="coarser sweeps (3 candidates per knob)")
@@ -161,47 +164,45 @@ def main() -> None:
         if r["mlups"] > best_l_mlups:
             best_l, best_l_mlups = mb, r["mlups"]
 
-    # ---- knob 3: VMEM-residency boundary (per-cell cost vs grid size) ----
-    # Below the boundary the padded f buffer stays VMEM-resident and per-cell
-    # cost is flat; past it everything streams from HBM and the cost jumps
-    # several-fold. The threshold lands between the last resident size and
-    # the first streaming size (measured by per-cell cost > 2x the smallest
-    # grid's).
-    sizes = ([768, 1024, 1280, 1536, 2048] if not args.quick
-             else [1024, 1536, 2048])
-    print("\n[3/3] residency boundary sweep (square grids)")
-    fields = dict(base)
-    if best_w is not None:
-        fields["split_budget_floats"] = best_w * _MB // 4
-    costs = []
+    # ---- knob 3: pipeline threshold (cross-program prefetch on vs off) ---
+    # pipeline_min_bytes gates the two-slot pipelined schedule: below it the
+    # padded f buffer is VMEM-resident and prefetch buys nothing; above it
+    # the loads stream from HBM and the prefetch hides them. Calibrate by
+    # measuring each size BOTH ways (pipeline_min forced to 1 byte = always
+    # on, forced huge = always off) and placing the threshold just under the
+    # smallest size where always-on wins by > 3%.
+    sizes = ([1024, 1280, 1536, 2048] if not args.quick else [1024, 2048])
+    print("\n[3/3] pipeline-threshold sweep (pipelined on vs off per size)")
+    pairs = []
     for n in sizes:
-        r = _run_probe(n, n, fields, max(3, args.chunks // 2), args.spc)
-        if r is None:
+        fields_on = dict(base)
+        fields_off = dict(base)
+        if best_w is not None:
+            for f in (fields_on, fields_off):
+                f["split_budget_floats"] = best_w * _MB // 4
+        fields_on["pipeline_min_bytes"] = 1
+        fields_off["pipeline_min_bytes"] = 1 << 60
+        r_on = _run_probe(n, n, fields_on, max(3, args.chunks // 2), args.spc)
+        r_off = _run_probe(n, n, fields_off, max(3, args.chunks // 2), args.spc)
+        if r_on is None or r_off is None:
             continue
-        per_mcell = r["us_per_step"] / (n * n / 1e6)
-        costs.append((n, per_mcell))
-        print(f"    {n}^2 -> {r['mlups']:.0f} MLUPS "
-              f"({per_mcell:.0f} us/Mcell-step)")
+        gain = r_on["mlups"] / r_off["mlups"] - 1.0
+        pairs.append((n, r_on["mlups"], r_off["mlups"], gain))
+        print(f"    {n}^2: pipelined {r_on['mlups']:.0f} vs plain "
+              f"{r_off['mlups']:.0f} MLUPS ({gain:+.1%})")
     pipeline_min = base["pipeline_min_bytes"]
-    if len(costs) >= 2:
-        base_cost = costs[0][1]
-        boundary = None
-        for i in range(1, len(costs)):
-            if costs[i][1] > 2.0 * base_cost:
-                boundary = (costs[i - 1][0], costs[i][0])
-                break
-        if boundary is not None:
-            # padded-f size midway between the two grids (pallas_step pads
-            # +2 halo rows and +2*128 halo lanes in the pipelined layout)
-            def fp_bytes(n):
-                return 4 * 9 * (n + 2) * (n + 256)
-
-            pipeline_min = (fp_bytes(boundary[0]) + fp_bytes(boundary[1])) // 2
-            print(f"    boundary between {boundary[0]}^2 and {boundary[1]}^2 "
-                  f"-> pipeline_min {pipeline_min // _MB}MB")
-        else:
-            print("    no residency jump found in the sweep range; keeping "
-                  "the spec-scaled threshold")
+    costs = [(n, on, off) for n, on, off, _ in pairs]
+    winners = [n for n, _on, _off, gain in pairs if gain > 0.03]
+    if winners:
+        n_first = min(winners)
+        # padded-f bytes for that grid (PY = 1-row halo pair, full width)
+        fp = 4 * 9 * (n_first + 2) * n_first
+        pipeline_min = min(pipeline_min, max(1, fp - _MB))
+        print(f"    pipelining first wins at {n_first}^2 -> "
+              f"pipeline_min {pipeline_min // _MB}MB")
+    else:
+        print("    pipelining never won in the sweep range; keeping the "
+              "spec-scaled threshold (it only matters beyond these sizes)")
 
     out_fields = dict(base)
     if best_w is not None:
@@ -221,7 +222,7 @@ def main() -> None:
             "working_budget_mlups": best_w_mlups,
             "wide_limit_mb": best_l,
             "wide_limit_mlups": best_l_mlups,
-            "residency_costs_us_per_mcell": costs,
+            "pipeline_on_off_mlups": costs,
         },
     }
     with open(args.out, "w", encoding="utf-8") as fh:

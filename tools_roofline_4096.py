@@ -101,6 +101,8 @@ def main() -> None:
     def make_copy(read_aux):
         grid = (Hp // bh,)
         kern = functools.partial(copy_kernel, read_aux=read_aux)
+        # double-buffered in+out blocks: 4 live f-band copies + aux
+        limit = 4 * (4 * 9 * bh * Wp) + 2 * 4 * bh * Wp + 2 * 1024 * 1024
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -110,6 +112,7 @@ def main() -> None:
             ],
             out_specs=pl.BlockSpec((9, bh, Wp), lambda i: (0, i, 0)),
             out_shape=jax.ShapeDtypeStruct((9, Hp, Wp), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
         )
 
     fbuf = jnp.zeros((9, Hp, Wp), jnp.float32)
