@@ -31,8 +31,37 @@ from .solver import (
 )
 
 
+def parse_spatial_mesh(spec) -> Optional[Tuple[int, int]]:
+    """Mesh-shape spec -> (rows, cols) | None.
+
+    Accepts "2x4" / [2, 4] / (2, 4); "auto" or an int N means the
+    most-square factorization of all (or N) local devices. None/""/0 -> no
+    spatial sharding.
+    """
+    if spec in (None, "", 0, False):
+        return None
+    from ..parallel.topology import best_grid
+
+    if isinstance(spec, str):
+        if spec.strip().lower() == "auto":
+            import jax as _jax
+
+            return best_grid(len(_jax.devices()))
+        parts = spec.lower().replace("x", " ").split()
+        if len(parts) != 2:
+            raise ValueError(f"spatial_mesh {spec!r}: expected 'RxC'")
+        return int(parts[0]), int(parts[1])
+    if isinstance(spec, int):
+        return best_grid(spec)
+    ry, rx = spec
+    return int(ry), int(rx)
+
+
 class LBMEngine:
-    """One simulation case on one device."""
+    """One simulation case: single device, or spatially sharded over a
+    device mesh (``simulation.spatial_mesh`` / ``spatial_mesh=`` -- the
+    production entry for BASELINE config #5 grids, SURVEY.md section 2.2).
+    """
 
     def __init__(
         self,
@@ -41,6 +70,7 @@ class LBMEngine:
         dtype=jnp.float32,
         collide_impl: str = "auto",
         store_dev: Optional[bool] = None,
+        spatial_mesh=None,
     ):
         self.config = config
         sim = config["simulation"]
@@ -73,10 +103,86 @@ class LBMEngine:
 
         self.params: CaseParams = make_params(config, mask_yx, dtype=dtype)
         self.dtype = dtype
-        self._runner = self._resolve_runner(collide_impl)
+        self.mesh = None
+        mesh_shape = parse_spatial_mesh(
+            spatial_mesh if spatial_mesh is not None
+            else sim.get("spatial_mesh")
+        )
+        if mesh_shape is not None:
+            self._runner = self._resolve_sharded_runner(collide_impl, mesh_shape)
+        else:
+            self._runner = self._resolve_runner(collide_impl)
         self.state: LBMState = init_state(self.ny, self.nx, dtype)
+        self._place_on_mesh()
         self._last_monitors = None
         self._monitors_np = None
+
+    def _resolve_sharded_runner(self, impl: str, mesh_shape: Tuple[int, int]):
+        """Spatially-sharded chunk runner over a ('dy','dx') device mesh.
+
+        The grid is block-decomposed [ny/ry, nx/rx] per device; each chunk is
+        one compiled program with per-step 1-cell ppermute halo exchange over
+        ICI (parallel/sharded.py). On TPU the per-shard step is the fused
+        Pallas kernel when the geometry is eligible (split-BC constraints:
+        fused-kernel BC support + local width a 128-lane multiple for 2D
+        meshes); elsewhere the jnp shard_map step -- bitwise-equal to the
+        single-device run_chunk (tests/test_parallel.py) -- keeps full
+        production fidelity. Monitors/moments/checkpoints work unchanged:
+        reductions and exports are global jit ops that GSPMD resolves on the
+        sharded state.
+        """
+        from ..parallel import sharded as sh
+        from ..parallel.topology import make_mesh
+
+        ry, rx = mesh_shape
+        n_dev = len(jax.devices())
+        if ry * rx > n_dev:
+            raise ValueError(
+                f"spatial_mesh {ry}x{rx} needs {ry * rx} devices, "
+                f"found {n_dev}"
+            )
+        self.mesh = make_mesh((ry, rx), devices=jax.devices()[: ry * rx])
+        if self.ny % ry or self.nx % rx:
+            raise ValueError(
+                f"grid {self.ny}x{self.nx} (HxW) not divisible by "
+                f"spatial_mesh {ry}x{rx}"
+            )
+        wl = self.nx // rx
+        use_pallas = False
+        if impl in ("auto", "pallas"):
+            backend = jax.default_backend()
+            if impl == "pallas" or backend in ("tpu", "axon"):
+                try:
+                    from ..ops.pallas_step import supports
+
+                    use_pallas = supports(self.params) and (
+                        rx == 1 or wl % 128 == 0
+                    )
+                except ImportError:
+                    use_pallas = False
+                if impl == "pallas" and not use_pallas:
+                    raise ValueError(
+                        f"case (bc_type {self.params.bc_type}, local width "
+                        f"{wl}) unsupported by the sharded fused kernel"
+                    )
+        mesh, ny, nx = self.mesh, self.ny, self.nx
+        if use_pallas:
+            sd = self.store_dev
+            return lambda state, p, n: sh.run_chunk_sharded_pallas(
+                state, p, n_steps=n, mesh=mesh, ny=ny, nx=nx, store_dev=sd
+            )
+        return lambda state, p, n: sh.run_chunk_sharded(
+            state, p, n_steps=n, mesh=mesh, ny=ny, nx=nx
+        )
+
+    def _place_on_mesh(self) -> None:
+        """Shard state+params onto the spatial mesh (no-op when unsharded)."""
+        if self.mesh is not None:
+            from ..parallel.topology import shard_state
+
+            self.state, self.params = shard_state(
+                self.state, self.params, self.mesh
+            )
 
     def _resolve_runner(self, impl: str):
         """Pick the chunk runner: fused Pallas kernel on TPU, jnp elsewhere.
@@ -110,6 +216,7 @@ class LBMEngine:
 
     def init(self) -> None:
         self.state = init_state(self.ny, self.nx, self.dtype)
+        self._place_on_mesh()
         self._last_monitors = None
         self._monitors_np = None
 
@@ -186,5 +293,7 @@ class LBMEngine:
             u=jnp.asarray(data["u"], self.dtype),
             step=jnp.asarray(data["step"], jnp.int32),
         )
+        self._place_on_mesh()  # checkpoints are stored gathered (mesh-shape
+        # agnostic: a 2x4 run resumes fine on 1x8 or unsharded)
         self._last_monitors = None
         self._monitors_np = None

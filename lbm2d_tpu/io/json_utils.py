@@ -11,12 +11,18 @@ from typing import Any
 import numpy as np
 
 
+_flock_unavailable_warned = False
+
+
 @contextlib.contextmanager
 def file_lock(path: str):
     """Exclusive advisory lock on ``path + '.lock'`` serializing
     read-modify-write cycles across processes (multi-worker batch
     coordination). flock where available; degrades to lock-free
-    single-process semantics elsewhere."""
+    single-process semantics elsewhere -- including filesystems where
+    flock itself errors (ENOLCK / EOPNOTSUPP on some NFS/SMB mounts),
+    with a one-time warning that multi-worker merging is unprotected."""
+    global _flock_unavailable_warned
     lock_path = path + ".lock"
     os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
     fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
@@ -27,6 +33,15 @@ def file_lock(path: str):
             fcntl.flock(fd, fcntl.LOCK_EX)
         except ImportError:  # non-POSIX
             pass
+        except OSError as exc:  # flock unsupported on this filesystem
+            if not _flock_unavailable_warned:
+                _flock_unavailable_warned = True
+                print(
+                    f"[Warning] flock unavailable on {lock_path!r} ({exc}); "
+                    "status writes stay atomic but multi-worker "
+                    "read-modify-write merging is UNPROTECTED on this "
+                    "filesystem -- concurrent workers may lose updates"
+                )
         yield
     finally:
         os.close(fd)  # closing drops the flock

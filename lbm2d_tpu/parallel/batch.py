@@ -347,12 +347,18 @@ class BatchEngine:
         )
         self.mesh = None
         if runner == "sharded":
-            self.mesh = case_mesh(n_devices)
-            n_dev = self.mesh.devices.size
-            if self.batch % n_dev:
-                raise ValueError(
-                    f"batch {self.batch} not divisible by {n_dev} devices"
-                )
+            # fit the mesh to the batch: the largest device count <= the
+            # request that divides B. Coordinated multi-worker runs routinely
+            # produce odd group sizes (other workers claim members away), and
+            # a crash there would strand the whole worker -- running 3 cases
+            # on 3 of 4 chips beats running none.
+            want = n_devices if n_devices is not None else len(jax.devices())
+            want = min(want, len(jax.devices()))
+            n_dev = max(d for d in range(1, want + 1) if self.batch % d == 0)
+            if n_dev < want:
+                print(f"[BatchEngine] batch {self.batch} not divisible by "
+                      f"{want} devices; using {n_dev}")
+            self.mesh = case_mesh(n_dev)
             self._local_b = self.batch // n_dev
             # per-shard strategy mirrors the auto rule (interpret-mode
             # Pallas inside shard_map works but is slow; CPU tests use vmap)

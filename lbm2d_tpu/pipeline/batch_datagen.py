@@ -106,11 +106,23 @@ def run_lockstep_group(
     f16_state: bool = False,
     yuv_video: bool = False,
     heartbeat_cb: Optional[Any] = None,
+    adaptive_fetch: bool = True,
+    pacer: Optional[Any] = None,
 ) -> List[Dict[str, Any]]:
     """Run one same-shape group in lockstep; returns per-case summary entries.
 
     ``heartbeat_cb``: zero-arg callable invoked at each progress interval
     (multi-worker claim heartbeat -- see pipeline/coordination.py).
+
+    ``adaptive_fetch`` (with ``fetch_overlap``): feed the measured per-chunk
+    fetch stall into a FetchPacer (pipeline/fetch_pacer.py) that coalesces
+    save/video events into grouped transfers when the D2H link can't hide
+    them under compute -- throughput degrades gracefully on slow links
+    instead of silently binding on transfer. On a healthy link the group
+    size stays 1 and the loop behaves exactly as before. Artifact bytes are
+    identical either way. ``pacer`` injects a pre-built controller (tests).
+    Each Success entry's run_summary.transfer carries the structured link
+    record: link_d2h_mbps_pre/post, bytes_fetched, fetch stall seconds.
 
     ``yuv_video`` fetches video frames as YUV 4:2:0 (Y + subsampled UV)
     instead of RGB -- half the bytes per frame for encoder-equivalent
@@ -287,32 +299,51 @@ def run_lockstep_group(
     # D2H collapses under load again (round 2 measured 3.6 MB/s loaded vs
     # 65-100 MB/s idle on an earlier tunnel). Either way only HOST-side
     # work -- video encode, HDF5 queueing -- rides in write_fetched.
-    pending = None  # (device moments array, pre_resized flag)
-    pending_video = None  # device uint8 frames [B, gui_h, gui_w, 3]
+    # Pending save/video events accumulate as LISTS of device handles: the
+    # FetchPacer may coalesce several events into one grouped transfer on a
+    # stalling link (order within each list is write order -- preserved).
+    pending_moments: List[Tuple[Any, bool]] = []
+    pending_videos: List[Any] = []
     fetch_thread: Optional[Any] = None
     fetch_box: Dict[str, Any] = {}
+    bytes_fetched = [0]  # cumulative D2H payload (structured run stats)
+
+    from .fetch_pacer import FetchPacer, probe_d2h_mbps
+
+    if pacer is None:
+        pacer = FetchPacer() if (adaptive_fetch and fetch_overlap) else None
+    link_pre = probe_d2h_mbps() if (dataset_on or video_on) else None
 
     def _take_pending():
-        nonlocal pending, pending_video
-        pen, pv = pending, pending_video
-        pending = None
-        pending_video = None
-        return pen, pv
+        nonlocal pending_moments, pending_videos
+        pm, pv = pending_moments, pending_videos
+        pending_moments = []
+        pending_videos = []
+        return pm, pv
 
-    def _fetch(pen, pv):
+    def _fetch(pm, pv):
         """np.asarray device arrays -> host dict for write_fetched."""
-        out = {}
-        if pv is not None:
+        out: Dict[str, Any] = {}
+        nb = 0
+        if pv:
             if yuv_video:
-                out["frames_yuv"] = (np.asarray(pv[0]), np.asarray(pv[1]))
+                planes = [(np.asarray(y), np.asarray(uv)) for y, uv in pv]
+                nb += sum(y.nbytes + uv.nbytes for y, uv in planes)
+                out["frames_yuv"] = planes
             else:
-                out["frames"] = np.asarray(pv)
-        if pen is not None:
-            dev, pre = pen
-            moments = np.asarray(dev)
-            if moments.dtype != np.float32:
-                moments = moments.astype(np.float32)
-            out["moments"] = (moments, pre)
+                frames = [np.asarray(f) for f in pv]
+                nb += sum(f.nbytes for f in frames)
+                out["frames"] = frames
+        if pm:
+            moms = []
+            for dev, pre in pm:
+                moments = np.asarray(dev)
+                nb += moments.nbytes
+                if moments.dtype != np.float32:
+                    moments = moments.astype(np.float32)
+                moms.append((moments, pre))
+            out["moments"] = moms
+        bytes_fetched[0] += nb
         return out
 
     def fetch_pending():
@@ -325,10 +356,10 @@ def run_lockstep_group(
         nonlocal fetch_thread
         import threading
 
-        pen, pv = _take_pending()
+        pm, pv = _take_pending()
 
         def _worker():
-            fetch_box.update(_fetch(pen, pv))
+            fetch_box.update(_fetch(pm, pv))
 
         fetch_thread = threading.Thread(target=_worker, daemon=True)
         fetch_thread.start()
@@ -348,34 +379,40 @@ def run_lockstep_group(
         runs under the next chunk's device compute."""
         if not out:
             return
-        frames = out.get("frames")
-        yuv = out.get("frames_yuv")
-        if frames is not None or yuv is not None:
+        for frames_ev, yuv_ev in _frame_events(out):
             from ..io.video import i420_to_rgb
 
             for b in range(n_cases):
                 if fail_reason[b] is None and recorders[b] is not None:
-                    if yuv is not None and zones is None:
+                    if yuv_ev is not None and zones is None:
                         # planes go straight to the recorder; on the native
                         # backend this feeds the yuv420p encoder directly
                         # (no host RGB reconstruction at all)
-                        recorders[b].write_frame_i420(yuv[0][b], yuv[1][b])
+                        recorders[b].write_frame_i420(yuv_ev[0][b], yuv_ev[1][b])
                         continue
-                    if yuv is not None:
-                        frame = i420_to_rgb(yuv[0][b], yuv[1][b])
+                    if yuv_ev is not None:
+                        frame = i420_to_rgb(yuv_ev[0][b], yuv_ev[1][b])
                     else:
-                        frame = frames[b].copy() if zones is not None else frames[b]
+                        frame = (
+                            frames_ev[b].copy() if zones is not None
+                            else frames_ev[b]
+                        )
                     if zones is not None:
                         from ..viz.frames import draw_zone_overlay
 
                         frame = draw_zone_overlay(frame, zones)
                     recorders[b].write_frame_u8(frame)
-        mom = out.get("moments")
-        if mom is not None:
-            moments, pre = mom
+        for moments, pre in out.get("moments", ()):
             for b in range(n_cases):
                 if fail_reason[b] is None and writers[b] is not None:
                     writers[b].append(moments[b], pre_resized=pre)
+
+    def _frame_events(out):
+        if "frames" in out:
+            return [(f, None) for f in out["frames"]]
+        if "frames_yuv" in out:
+            return [(None, yv) for yv in out["frames_yuv"]]
+        return []
 
     def flush_pending():
         write_fetched(fetch_pending())
@@ -393,10 +430,14 @@ def run_lockstep_group(
         mon_dev = engine.run_step(chunk, sync=False)
         tp1 = time.perf_counter()
         steps += chunk
+        stall_s = 0.0
         if fetch_thread is not None:
             # the worker transferred while this chunk computes; the join
             # wait is the residual transfer time the compute couldn't hide
+            # -- the "stall" signal the FetchPacer adapts on
+            tj = time.perf_counter()
             fetched = join_fetch()
+            stall_s = time.perf_counter() - tj
         write_fetched(fetched)  # host-only IO rides under the chunk's compute
         fetched = {}
         tp2 = time.perf_counter()
@@ -405,6 +446,8 @@ def run_lockstep_group(
         prof["dispatch"] += tp1 - tp0
         prof["write"] += tp2 - tp1
         prof["monitor"] += tp3 - tp2
+        if pacer is not None:
+            pacer.record_chunk((tp1 - tp0) + (tp3 - tp2), stall_s)
         alive = engine.alive_mask
         for b in range(n_cases):
             if fail_reason[b] is None and not alive[b]:
@@ -429,13 +472,13 @@ def run_lockstep_group(
                 import jax.numpy as jnp
 
                 dev = dev.astype(jnp.float16)
-            pending = (dev, pre)
+            pending_moments.append((dev, pre))
         if (
             video_on
             and steps % vid_interval == 0
             and steps >= start_record
         ):
-            pending_video = renderer(engine.state.u, engine.params.mask)
+            pending_videos.append(renderer(engine.state.u, engine.params.mask))
         if (
             ckpt_path
             and ckpt_interval
@@ -444,12 +487,15 @@ def run_lockstep_group(
             save_group_ckpt()
         tp4 = time.perf_counter()
         prof["queue"] += tp4 - tp3
+        n_pending = len(pending_moments) + len(pending_videos)
         if fetch_overlap:
             # transfer rides under the next chunk's compute on a worker
-            # thread (prof["fetch"] is then the join wait inside "write")
-            if pending is not None or pending_video is not None:
+            # thread (prof["fetch"] is then the join wait inside "write").
+            # With the pacer, a stalling link grows the group: several save
+            # events coalesce into one transfer spanning several chunks.
+            if n_pending and (pacer is None or pacer.should_fetch(n_pending)):
                 start_fetch()
-        else:
+        elif n_pending:
             # device is idle now (chunk synced; renderer/resizer are sub-ms
             # epilogues) -- transfers run at the idle-link rate here
             fetched = fetch_pending()
@@ -479,6 +525,28 @@ def run_lockstep_group(
     for rec in recorders:
         if rec is not None:
             rec.stop()
+
+    # structured link/transfer record (VERDICT r4 item 2: probes in fields,
+    # not prose) -- rides into sim_results via run_summary.transfer
+    transfer_stats = None
+    if link_pre is not None:
+        import uuid
+
+        transfer_stats = {
+            "group_uid": uuid.uuid4().hex[:8],  # dedupe key: group members
+            # share one transfer record (tools_cases_hour aggregation)
+            "link_d2h_mbps_pre": link_pre,
+            "link_d2h_mbps_post": probe_d2h_mbps(),
+            "bytes_fetched": int(bytes_fetched[0]),
+            "group_wall_s": round(wall, 2),
+        }
+        if pacer is not None:
+            transfer_stats.update(pacer.stats())
+            if pacer.stats()["lean_recommended"]:
+                print(
+                    "  [FetchPacer] link stalls persist at max batching -- "
+                    "consider --f16_transfer / --yuv_video for this link"
+                )
 
     u_np = np.asarray(engine.state.u)  # [B, 2, H, W]
     entries = []
@@ -533,6 +601,8 @@ def run_lockstep_group(
         )
         entry["config_filename"] = fname
         entry["wall_time_s"] = round(wall, 2)
+        if transfer_stats is not None:
+            entry["run_summary"]["transfer"] = transfer_stats
         entry.setdefault("parameters", {})["simulation_outputs"] = {
             "actual_reynolds_number": round(
                 lattice_md["reynolds_number_lattice_actual"], 4
@@ -562,6 +632,7 @@ def run_batched(
     coordinate: bool = False,
     reclaim_stale_s: Optional[float] = None,
     worker_id: Optional[str] = None,
+    adaptive_fetch: bool = True,
 ) -> Dict[str, int]:
     """Run every pending case of a project on the lockstep engine.
 
@@ -693,7 +764,8 @@ def run_batched(
                 members, project_paths, output_dirs, progress, device_resize,
                 runner=runner, n_devices=n_devices, f16_transfer=f16_transfer,
                 video=video, fetch_overlap=fetch_overlap, f16_state=use_f16,
-                yuv_video=yuv_video, **run_extra,
+                yuv_video=yuv_video, adaptive_fetch=adaptive_fetch,
+                **run_extra,
             )
             for entry in entries:
                 fname = entry["config_filename"]
@@ -806,6 +878,11 @@ def main() -> None:
         "links whose D2H bandwidth collapses under device load)",
     )
     ap.add_argument(
+        "--no_adaptive_fetch", action="store_true",
+        help="disable the FetchPacer (adaptive save-fetch batching on "
+        "stalling D2H links; artifact bytes identical either way)",
+    )
+    ap.add_argument(
         "--f16_retry", action="store_true",
         help="re-run cases that fail under --f16_state once in exact f32 "
         "before recording them Failed (recovers quantization-induced "
@@ -838,6 +915,7 @@ def main() -> None:
         yuv_video=args.yuv_video, f16_retry=args.f16_retry,
         max_success=args.max_success, coordinate=args.coordinate,
         reclaim_stale_s=args.reclaim_stale,
+        adaptive_fetch=not args.no_adaptive_fetch,
     )
 
 

@@ -70,8 +70,16 @@ def run_batch(
     f16_retry: bool = False,
     coordinate: bool = False,
     reclaim_stale_s: float | None = None,
+    spatial_mesh=None,
+    adaptive_fetch: bool = True,
 ) -> Dict[str, int]:
     """Run every pending case of a project (reference batch_run contract).
+
+    ``spatial_mesh`` ("2x4" / "auto"): run each case spatially sharded over
+    a device mesh (ppermute halo exchange per step, parallel/sharded.py) --
+    the production path for beyond-VMEM grids (BASELINE config #5 class).
+    Incompatible with ``lockstep`` (which batches independent cases; one
+    case per device group vs many cases per device are opposite layouts).
 
     ``coordinate``: multi-worker mode -- N concurrent invocations sharing
     this project split the pending cases via atomic per-case claim files
@@ -92,6 +100,12 @@ def run_batch(
         # silently ignored --f16_retry would fake retry protection
         raise ValueError("--f16_retry requires --lockstep and --f16_state "
                          "(it re-runs f16-state failures in exact f32)")
+    if lockstep and spatial_mesh:
+        raise ValueError(
+            "--spatial_mesh shards one case over many devices; --lockstep "
+            "batches many cases per device -- pick one (case-parallel "
+            "cross-chip lockstep is batch_datagen --runner sharded)"
+        )
     if lockstep:
         from .batch_datagen import run_batched
 
@@ -101,7 +115,7 @@ def run_batch(
             video=video, fetch_overlap=fetch_overlap, f16_state=f16_state,
             yuv_video=yuv_video, f16_retry=f16_retry,
             max_success=max_success, coordinate=coordinate,
-            reclaim_stale_s=reclaim_stale_s,
+            reclaim_stale_s=reclaim_stale_s, adaptive_fetch=adaptive_fetch,
         )
     project_paths = paths.get_project_paths(project_name, root=root)
     output_dirs = paths.setup_output_directories(project_paths["outputs"])
@@ -129,11 +143,27 @@ def run_batch(
         return {"success": 0, "skipped": len(skip_set), "failed": 0}
 
     claims = None
+    hb_stop = None
     if coordinate:
+        import threading
+
         from .coordination import ClaimStore
 
         claims = ClaimStore(output_dirs["plots"], stale_s=reclaim_stale_s)
         print(f"[Batch] multi-worker mode, worker={claims.worker_id}")
+        # Periodic heartbeat for the serial engine: a case can run far longer
+        # than any sane --reclaim_stale, and unlike the lockstep path (which
+        # heartbeats from its per-chunk progress callback) the serial loop
+        # has no in-case hook -- so a timer thread refreshes the owned
+        # claim's mtime while the case computes (heartbeat only touches
+        # os.utime; no JAX state crosses the thread).
+        hb_stop = threading.Event()
+
+        def _hb_loop():
+            while not hb_stop.wait(30.0):
+                claims.heartbeat()
+
+        threading.Thread(target=_hb_loop, daemon=True).start()
 
     new_success = new_failed = new_skip = 0
     for i, cfg_file in enumerate(config_files):
@@ -197,6 +227,7 @@ def run_batch(
         entry = case_executor.execute_case(
             full_config_path, project_paths, output_dirs, job_id,
             progress=progress, device_resize=device_resize,
+            spatial_mesh=spatial_mesh,
         )
         wall_time_s = time.perf_counter() - wall_t0
         entry["wall_time_s"] = round(wall_time_s, 2)
@@ -230,6 +261,8 @@ def run_batch(
         tag = "OK" if entry.get("status") == "Success" else "FAIL"
         print(f"  [{tag}] {cfg_file}  wall_time={wall_time_s:.1f}s")
 
+    if hb_stop is not None:
+        hb_stop.set()
     print(
         f"\n[Batch] done: prev_success={already_success} new_success={new_success} "
         f"failed={new_failed} skipped={new_skip}"
@@ -291,8 +324,15 @@ def main() -> None:
     ap.add_argument("--reclaim_stale", type=float, default=None,
                     metavar="SECONDS",
                     help="with --coordinate: steal claims whose heartbeat "
-                    "is older than SECONDS (crashed cross-host workers); "
-                    "set well above a case/group wall time")
+                    "is older than SECONDS (crashed cross-host workers). "
+                    "Live workers heartbeat every ~30s (serial timer thread"
+                    " / lockstep progress callback), so a few minutes is "
+                    "safe regardless of case wall time")
+    ap.add_argument("--spatial_mesh", default=None, metavar="RxC",
+                    help="run each case spatially sharded over a device "
+                    "mesh, e.g. '2x4' or 'auto' (most-square over all "
+                    "devices); the production path for beyond-VMEM grids. "
+                    "Incompatible with --lockstep")
     args = ap.parse_args()
     run_batch(
         args.project_name, args.max_success, root=args.root,
@@ -301,7 +341,7 @@ def main() -> None:
         video=not args.no_video, fetch_overlap=not args.fetch_at_idle,
         f16_state=args.f16_state, yuv_video=args.yuv_video,
         f16_retry=args.f16_retry, coordinate=args.coordinate,
-        reclaim_stale_s=args.reclaim_stale,
+        reclaim_stale_s=args.reclaim_stale, spatial_mesh=args.spatial_mesh,
     )
 
 

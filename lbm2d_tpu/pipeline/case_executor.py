@@ -36,6 +36,7 @@ def execute_case(
     job_id: int,
     progress: bool = True,
     device_resize: bool = False,
+    spatial_mesh=None,
 ) -> Dict[str, Any]:
     h5_path = ""
     video_path = ""
@@ -56,6 +57,7 @@ def execute_case(
         lattice_metadata = run_one_case.main(
             full_config_path, mask_path, h5_path, video_path,
             progress=progress, device_resize=device_resize,
+            spatial_mesh=spatial_mesh,
         )
         if lattice_metadata.get("status") != "Success":
             raise RuntimeError(f"Simulation failed: {lattice_metadata.get('reason')}")

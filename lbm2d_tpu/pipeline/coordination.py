@@ -22,8 +22,12 @@ coordination plane, which is exactly the reference's L6→L5 contract style):
   - same host: the owner pid is checked for liveness; dead → stealable.
   - cross host: owners touch their claims as a heartbeat while working;
     a claim silent for ``stale_s`` (default: off) is stealable with
-    ``--reclaim_stale``. Stealing is unlink-then-recreate: concurrent
-    stealers both unlink (idempotent), exactly one wins the O_EXCL create.
+    ``--reclaim_stale``. Stealing renames the stale claim to a unique
+    tombstone first: os.rename is atomic, so of N concurrent stealers
+    exactly one removes the claim, and any worker that then wins the
+    O_EXCL re-create is the single new owner (unlink-then-recreate had a
+    window where a second stealer could unlink the winner's FRESH claim
+    and double-own the case).
 * **Terminal cases release their claims**; a completed project leaves an
   empty ``.claims/``. Finalization (NPZ/summary) is idempotent and runs in
   every worker under the lock — the last worker out writes the complete
@@ -114,8 +118,17 @@ class ClaimStore:
             self._owned[config_filename] = path
             return True
         if self._is_stale(path):
+            # Single-winner steal: atomically rename the stale claim to a
+            # per-steal unique tombstone. Exactly one concurrent stealer's
+            # rename succeeds; losers see ENOENT and back off, so nobody can
+            # unlink a FRESH claim another stealer just re-created.
+            tomb = f"{path}.stale.{uuid.uuid4().hex[:8]}"
             try:
-                os.unlink(path)  # ENOENT = a racing stealer got here first
+                os.rename(path, tomb)
+            except OSError:
+                return False  # a racing stealer took it first
+            try:
+                os.unlink(tomb)
             except FileNotFoundError:
                 pass
             if self._try_create(path):
@@ -124,9 +137,11 @@ class ClaimStore:
         return False
 
     def heartbeat(self) -> None:
-        """Refresh owned claims' mtimes (cross-host liveness signal)."""
+        """Refresh owned claims' mtimes (cross-host liveness signal).
+        Safe to call from a background timer thread: the snapshot below
+        tolerates concurrent claim/release from the worker's main thread."""
         now = time.time()
-        for path in self._owned.values():
+        for path in list(self._owned.values()):
             try:
                 os.utime(path, (now, now))
             except OSError:

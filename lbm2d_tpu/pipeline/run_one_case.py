@@ -29,6 +29,7 @@ def init_simulation_env(
     mask_path: Optional[str],
     h5_output_path: Optional[str],
     video_output_path: Optional[str],
+    spatial_mesh=None,
 ):
     sim_cfg = config["simulation"]
     gui_cfg = config["outputs"]["gui"]
@@ -42,7 +43,9 @@ def init_simulation_env(
     )
     composer = FrameComposer(gui_w, gui_h, viz_sigma=gui_cfg.get("gaussian_sigma", 1.0))
 
-    engine = LBMEngine(config, mask_yx=mask.astype(np.float32))
+    engine = LBMEngine(
+        config, mask_yx=mask.astype(np.float32), spatial_mesh=spatial_mesh
+    )
     engine.init()
 
     gui = None
@@ -78,7 +81,12 @@ def main(
     video_output_path: Optional[str],
     progress: bool = True,
     device_resize: bool = False,
+    spatial_mesh=None,
 ) -> Dict[str, Any]:
+    """``spatial_mesh`` ("2x4" / (2,4) / "auto"): run the case spatially
+    sharded over a device mesh (CLI --spatial_mesh; overrides the config's
+    ``simulation.spatial_mesh`` key). Artifacts are identical to the serial
+    path (tests/test_spatial_pipeline.py pins dataset-byte parity)."""
     metadata: Dict[str, Any] = {"status": "Failed", "reason": "Unknown error"}
     engine = composer = gui = recorder = writer = None
     try:
@@ -87,7 +95,8 @@ def main(
         config = load_config(config_path)
 
         engine, composer, gui, recorder, writer = init_simulation_env(
-            config, mask_path, h5_output_path, video_output_path
+            config, mask_path, h5_output_path, video_output_path,
+            spatial_mesh=spatial_mesh,
         )
 
         max_steps = int(config["simulation"]["max_steps"])
@@ -177,6 +186,10 @@ if __name__ == "__main__":
     ap.add_argument("--mask", required=True)
     ap.add_argument("--h5", default="outputs/test_run/test_case.h5")
     ap.add_argument("--video", default="outputs/test_run/test_case.mp4")
+    ap.add_argument("--spatial_mesh", default=None,
+                    help="run spatially sharded over a device mesh, e.g. "
+                    "'2x4' or 'auto' (most-square over all devices)")
     args = ap.parse_args()
-    md = main(args.config, args.mask, args.h5, args.video)
+    md = main(args.config, args.mask, args.h5, args.video,
+              spatial_mesh=args.spatial_mesh)
     print(md)

@@ -107,6 +107,43 @@ class _ShapePlacer:
         else:
             raise ValueError(f"unknown shape {shape_type}")
 
+    def drop_buffer_clipped_geoms(self, buf: int) -> int:
+        """Drop recorded geoms whose analytic footprint reaches the cleared
+        boundary-buffer columns; returns the number dropped.
+
+        Generators wipe grid columns [0, buf) and [W-buf, W) AFTER placement,
+        so a shape clipped by the wipe keeps a full analytic record that
+        disagrees with the mask near the clip plane -- Bouzidi q planes there
+        would derive from a surface that no longer exists. Dropping the geom
+        degrades that shape's remaining links to the mask-midpoint q = 0.5
+        fallback (conservative and consistent with the mask) instead of a
+        wrong sub-grid crossing. Extents are conservative bounding intervals
+        (+1 px rasterization slack)."""
+        if buf <= 0 or not self.geoms:
+            return 0
+
+        def x_extent(g) -> Tuple[float, float]:
+            if g["shape"] == "cylinder":
+                return g["cx"] - g["r"], g["cx"] + g["r"]
+            if g["shape"] == "rect":
+                th = np.deg2rad(g["angle_deg"])
+                hx = (abs(g["w"] * np.cos(th)) + abs(g["h"] * np.sin(th))) / 2.0
+                return g["cx"] - hx, g["cx"] + hx
+            if g["shape"] == "triangle":
+                r = g["size"]  # circumradius (shapes.triangle_points_f)
+                return g["cx"] - r, g["cx"] + r
+            return -np.inf, np.inf  # unknown shape: never keep silently
+
+        lo_edge = buf + 1  # +1 px slack vs integer rasterization
+        hi_edge = self.W - buf - 1
+        kept = [
+            g for g in self.geoms
+            if x_extent(g)[0] >= lo_edge and x_extent(g)[1] <= hi_edge
+        ]
+        dropped = len(self.geoms) - len(kept)
+        self.geoms = kept
+        return dropped
+
     def geometry(self, dx: float = 0.0, dy: float = 0.0) -> Optional[Dict[str, Any]]:
         """Union geometry of all placed shapes, translated by (dx, dy)
         (the mask-embedding pad offsets); None when nothing was placed."""
@@ -224,6 +261,7 @@ class HybridMapGenerator(_ShapePlacer):
         buf = self.config["validation"]["boundary_buffer"]
         self.grid[:, :buf] = 0
         self.grid[:, -buf:] = 0
+        self.drop_buffer_clipped_geoms(buf)
         return max_len
 
 
@@ -261,6 +299,7 @@ class UrbanMapGenerator(_ShapePlacer):
         buf = self.config["validation"]["boundary_buffer"]
         self.grid[:, :buf] = 0
         self.grid[:, -buf:] = 0
+        self.drop_buffer_clipped_geoms(buf)
         return float(max(placed)) if placed else 1.0
 
 

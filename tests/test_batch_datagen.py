@@ -442,7 +442,8 @@ def _fake_group_runner(fail_f16=(), fail_always=(), calls=None):
 
     def fake(members, project_paths, output_dirs, progress, device_resize,
              runner="auto", n_devices=None, f16_transfer=False, video=True,
-             fetch_overlap=True, f16_state=False, yuv_video=False):
+             fetch_overlap=True, f16_state=False, yuv_video=False,
+             adaptive_fetch=True, pacer=None):
         if calls is not None:
             calls.append((f16_state, sorted(f for f, _ in members)))
         entries = []

@@ -117,15 +117,14 @@ def test_concurrent_status_writes_lose_nothing(tmp_path):
         path,
     )
 
-    def worker(lo, hi):
-        for i in range(lo, hi):
-            results_store.set_status(f"c{i}.yaml", "Success", path,
-                                     extra_fields={"wall_time_s": i})
+    # spawn, not fork: this pytest parent runs a multithreaded JAX runtime,
+    # and fork-under-threads is the classic intermittent-deadlock pattern
+    # (CPython warns for exactly this). The target lives in tests/_mw_worker
+    # so the fresh interpreters import only the JSON store, not JAX.
+    from tests._mw_worker import hammer
 
-    # fork: the closure isn't picklable under spawn, and the children touch
-    # only the json store (no jax state crosses the fork)
-    ctx = mp.get_context("fork")
-    procs = [ctx.Process(target=worker, args=(lo, lo + 8))
+    ctx = mp.get_context("spawn")
+    procs = [ctx.Process(target=hammer, args=(path, lo, lo + 8))
              for lo in (0, 8, 16)]
     for p in procs:
         p.start()
@@ -141,15 +140,15 @@ def test_concurrent_status_writes_lose_nothing(tmp_path):
 
 # ------------------------------------------------------- two-process datagen
 
-def make_four_case_project(root, name="MW"):
-    """Four same-shape cases (different nu) sharing one mask."""
+def make_cases_project(root, name="MW", nus=(0.05, 0.04, 0.03, 0.02)):
+    """N same-shape cases (different nu) sharing one mask."""
     cfg_name = make_project(root, name=name)
     cfg_dir = os.path.join(root, "SimCases", name, "configs")
     with open(os.path.join(cfg_dir, cfg_name)) as fh:
         base = yaml.safe_load(fh)
     base["outputs"]["video"]["enable"] = False
     names = []
-    for nu in (0.05, 0.04, 0.03, 0.02):
+    for nu in nus:
         cfg = json.loads(json.dumps(base))
         tag = f"Nu0-{int(nu * 1e4):04d}"
         cfg["simulation"]["nu"] = nu
@@ -159,9 +158,14 @@ def make_four_case_project(root, name="MW"):
             yaml.safe_dump(cfg, fh, sort_keys=False)
         names.append(fname)
     # nu=0.05 regenerates cfg_name itself (video disabled), so exactly the
-    # four loop-written configs exist
+    # loop-written configs exist
     assert cfg_name in names
     return sorted(names)
+
+
+def make_four_case_project(root, name="MW"):
+    """Four same-shape cases (different nu) sharing one mask."""
+    return make_cases_project(root, name=name)
 
 
 _WORKER_SNIPPET = """
@@ -236,3 +240,77 @@ def test_two_workers_split_one_project(tmp_path):
     # claims all released
     claims_dir = os.path.join(plots, ".claims")
     assert os.listdir(claims_dir) == []
+
+
+# ------------------------------------- multi-worker x multi-chip composition
+
+_WORKER_SHARDED_SNIPPET = """
+import json, sys
+from lbm2d_tpu.pipeline.batch_datagen import run_batched
+stats = run_batched(
+    "MWC", max_batch=4, root=sys.argv[1], progress=False, video=False,
+    coordinate=True, worker_id=sys.argv[2], runner="sharded", n_devices=4,
+)
+print("STATS " + json.dumps(stats))
+"""
+
+
+def test_two_workers_with_four_devices_each(tmp_path):
+    """The full SURVEY §2.2 deployment shape (VERDICT r4 item 8): N
+    independent worker processes over the DCN/filesystem axis, EACH driving
+    a multi-chip ('cases',) device mesh. Two workers x 4 CPU devices split
+    an 8-case project: disjoint ownership, complete artifacts, and the
+    case-sharded engine tolerating whatever group sizes the claim race
+    leaves (mesh auto-fit)."""
+    root = str(tmp_path)
+    names = make_cases_project(
+        root, name="MWC",
+        nus=(0.05, 0.045, 0.04, 0.035, 0.03, 0.025, 0.02, 0.015),
+    )
+    assert len(names) == 8
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER_SHARDED_SNIPPET, root, wid],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd="/root/repo",
+        )
+        for wid in ("workerA", "workerB")
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    stats = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("STATS ")]
+        assert line, out[-3000:]
+        stats.append(json.loads(line[-1][6:]))
+    assert sum(s["success"] for s in stats) == 8, (stats, outs[0][-2000:])
+
+    plots = os.path.join(root, "outputs", "MWC", "plots")
+    with open(os.path.join(plots, "sim_results.json")) as fh:
+        entries = {e["config_filename"]: e for e in json.load(fh)}
+    owners = {}
+    for n in names:
+        assert entries[n]["status"] == "Success", entries[n]
+        owners.setdefault(entries[n]["worker"], []).append(n)
+    assert set(owners) <= {"workerA", "workerB"}
+    assert sum(len(v) for v in owners.values()) == 8
+
+    raw = os.path.join(root, "outputs", "MWC", "raw")
+    import h5py
+
+    for n in names:
+        case = n.replace("_cfg", "").replace(".yaml", "")
+        with h5py.File(os.path.join(raw, f"{case}.h5")) as f:
+            assert f["turbulence"].shape[0] >= 1
+            assert np.isfinite(f["turbulence"][:]).all()
+
+    vec = np.load(os.path.join(plots, "all_cases_vectors.npz"),
+                  allow_pickle=True)
+    assert len(vec["case_names"]) == 8
+    assert os.listdir(os.path.join(plots, ".claims")) == []

@@ -389,14 +389,19 @@ def test_batch_case_sharded_matches_serial():
         )
 
 
-def test_batch_case_sharded_rejects_indivisible():
+def test_batch_case_sharded_fits_mesh_to_indivisible_batch():
+    """3 cases on an 8-device host: the mesh auto-fits to the largest
+    dividing device count (3) instead of crashing -- coordinated
+    multi-worker runs routinely produce odd group sizes (VERDICT r4
+    item 8 composition robustness)."""
     nx, ny = 48, 24
     cfgs = [grid_config(nx, ny) for _ in range(3)]
     masks = [np.zeros((ny, nx), np.float32)] * 3
-    import pytest
 
-    with pytest.raises(ValueError, match="not divisible"):
-        BatchEngine(cfgs, masks, runner="sharded")
+    be = BatchEngine(cfgs, masks, runner="sharded")
+    assert be.mesh is not None and be.mesh.devices.size == 3
+    be.run_step(2)
+    assert be.alive_mask.all()
 
 
 def _run_split_bc_mesh_case(nx, ny, mesh_shape, n_steps, vmem_mb=None):

@@ -23,6 +23,16 @@ Validation contract (VERDICT r3 item 8): run on the calibration v5e, the
 emitted constants must reproduce the committed v5e numbers within noise
 (working budget 13MB, wide limit 40MB, pipeline threshold between the
 1024^2-class and 2048^2-class padded sizes).
+
+Selection rule (VERDICT r4 item 7): per knob the tool picks the SMALLEST
+candidate whose MLUPS is within ``--tol`` (default 1%) of the sweep's best,
+not the raw argmax. Measured curves are flat near the top (the r4 v5e check
+read 48MB best vs the committed 40MB at <0.5% apart), so an argmax is noise
+-- it flips between flat-range candidates run to run. Preferring the
+smallest flat-range value is stable AND principled: a smaller scoped limit
+leaves more VMEM to XLA's own workspace (BASELINE.md round 2: >48MB limits
+strangle unrelated programs). All candidates are recorded in the output
+JSON so a reviewer can audit the flatness.
 """
 
 from __future__ import annotations
@@ -90,6 +100,20 @@ def _run_probe(ny, nx, budget_fields, chunks, spc):
         os.unlink(tmp)
 
 
+def _pick_stable(results, tol):
+    """(knob, mlups) list -> smallest knob within ``tol`` of the best.
+
+    The measured curves are flat near the optimum, so an argmax is run-to-run
+    noise; the smallest flat-range value is stable and leaves the most VMEM
+    to XLA's own workspace (see module docstring selection rule)."""
+    if not results:
+        return None, -1.0
+    best = max(m for _, m in results)
+    knob = min(k for k, m in results if m >= best * (1.0 - tol))
+    chosen = dict(results)[knob]
+    return knob, chosen
+
+
 def _default_fields():
     from lbm2d_tpu.ops.device_specs import budgets
 
@@ -115,6 +139,10 @@ def main() -> None:
     ap.add_argument("--out", default="device_specs_override.json")
     ap.add_argument("--quick", action="store_true",
                     help="coarser sweeps (3 candidates per knob)")
+    ap.add_argument("--tol", type=float, default=0.01,
+                    help="flat-range tolerance: per knob, pick the SMALLEST "
+                    "candidate within this fraction of the best MLUPS "
+                    "(stable under noise; argmax is not)")
     args = ap.parse_args()
     if args.probe is not None:
         _probe(args.probe[0], args.probe[1], args.chunks, args.spc)
@@ -133,7 +161,7 @@ def main() -> None:
     # ---- knob 1: scoped-VMEM working budget (split-BC bands @ 1024^2) ----
     cands = [10, 12, 13, 14, 16] if not args.quick else [10, 13, 16]
     print("\n[1/3] working-budget sweep @ 1024^2 (split-BC fast steps)")
-    best_w, best_w_mlups = None, -1.0
+    sweep_w = []
     for mb in cands:
         fields = dict(base)
         fields["split_budget_floats"] = mb * _MB // 4
@@ -143,13 +171,16 @@ def main() -> None:
         if r is None:
             continue
         print(f"    {mb:>3}MB -> {r['mlups']:.0f} MLUPS")
-        if r["mlups"] > best_w_mlups:
-            best_w, best_w_mlups = mb, r["mlups"]
+        sweep_w.append((mb, r["mlups"]))
+    best_w, best_w_mlups = _pick_stable(sweep_w, args.tol)
+    if best_w is not None:
+        print(f"    -> working budget {best_w}MB (smallest within "
+              f"{args.tol:.0%} of best)")
 
     # ---- knob 2: raised wide-band limit (4096-lane bands @ 4096^2) ----
     cands = [24, 32, 40, 48, 56] if not args.quick else [24, 40, 56]
     print("\n[2/3] wide-limit sweep @ 4096^2")
-    best_l, best_l_mlups = None, -1.0
+    sweep_l = []
     for mb in cands:
         fields = dict(base)
         if best_w is not None:
@@ -161,8 +192,11 @@ def main() -> None:
         if r is None:
             continue
         print(f"    {mb:>3}MB -> {r['mlups']:.0f} MLUPS")
-        if r["mlups"] > best_l_mlups:
-            best_l, best_l_mlups = mb, r["mlups"]
+        sweep_l.append((mb, r["mlups"]))
+    best_l, best_l_mlups = _pick_stable(sweep_l, args.tol)
+    if best_l is not None:
+        print(f"    -> wide limit {best_l}MB (smallest within "
+              f"{args.tol:.0%} of best)")
 
     # ---- knob 3: pipeline threshold (cross-program prefetch on vs off) ---
     # pipeline_min_bytes gates the two-slot pipelined schedule: below it the
@@ -217,11 +251,17 @@ def main() -> None:
         "device_kind": dev.device_kind,
         "measured_at": "tools_calibrate_specs.py",
         "budgets": out_fields,
+        "selection_rule": (
+            f"smallest candidate within {args.tol:.0%} of best MLUPS "
+            "(flat-range stable; see module docstring)"
+        ),
         "sweep": {
             "working_budget_mb": best_w,
             "working_budget_mlups": best_w_mlups,
+            "working_budget_candidates": sweep_w,
             "wide_limit_mb": best_l,
             "wide_limit_mlups": best_l_mlups,
+            "wide_limit_candidates": sweep_l,
             "pipeline_on_off_mlups": costs,
         },
     }

@@ -60,6 +60,7 @@ def main() -> None:
     steps_total = 0
     missing = []
     videos = 0
+    transfer_groups = {}  # group_uid -> transfer record (dedup group members)
     for rec in sim_results:
         cfg_name = rec.get("config_filename", "?")
         status = rec.get("status")
@@ -71,6 +72,9 @@ def main() -> None:
                 .get("total_steps_executed", 0)
             )
             rs = rec.get("run_summary", {})
+            tr = rs.get("transfer")
+            if tr and tr.get("group_uid"):
+                transfer_groups[tr["group_uid"]] = tr
             h5 = rs.get("h5_file")
             vid = rs.get("video_file")
             if h5 in (None, "", "N/A") or not os.path.exists(
@@ -89,6 +93,30 @@ def main() -> None:
         if not os.path.exists(os.path.join(proj, "plots", fn)):
             missing.append(("<batch>", "plots", fn))
 
+    # Structured link health (VERDICT r4 item 2): probes measured by the
+    # lockstep runner before/after each group, stamped per-case into
+    # run_summary.transfer. A record is only comparable to the headline if
+    # every probe cleared the BASELINE.md gate (>= 20 MB/s sustained D2H).
+    link = None
+    if transfer_groups:
+        trs = list(transfer_groups.values())
+        probes = [t["link_d2h_mbps_pre"] for t in trs] + [
+            t["link_d2h_mbps_post"] for t in trs
+        ]
+        link = {
+            "n_groups": len(trs),
+            "link_d2h_mbps_min": min(probes),
+            "link_d2h_mbps_max": max(probes),
+            "bytes_fetched_total": sum(t.get("bytes_fetched", 0) for t in trs),
+            "fetch_stall_s_total": round(
+                sum(t.get("fetch_stall_s", 0.0) for t in trs), 1
+            ),
+            "fetch_group_sizes": sorted(
+                t.get("fetch_group_size_final", 1) for t in trs
+            ),
+            "link_healthy": min(probes) >= 20.0,  # BASELINE.md gate
+        }
+
     rec = {
         "label": args.label,
         "root": args.root,
@@ -98,6 +126,7 @@ def main() -> None:
         "videos": videos,
         "elapsed_s": round(elapsed, 1),
         "cases_per_hour": round(n_success / (elapsed / 3600.0), 2),
+        "link": link,
         "missing_artifacts": missing,
         "note": args.note,
     }
