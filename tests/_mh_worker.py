@@ -14,6 +14,11 @@ import sys
 
 
 def main() -> None:
+    import faulthandler
+
+    # hang tripwire: a lost peer leaves distributed init / collectives
+    # waiting forever -- dump stacks and die instead of wedging the suite
+    faulthandler.dump_traceback_later(240, exit=True, file=sys.stderr)
     coord, n_procs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")

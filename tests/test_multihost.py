@@ -39,7 +39,7 @@ def test_two_process_spatial_decomposition():
         )
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = [p.communicate(timeout=330)[0] for p in procs]
     joined = "\n----\n".join(o[-4000:] for o in outs)
 
     if any(p.returncode != 0 for p in procs):

@@ -168,7 +168,22 @@ def make_four_case_project(root, name="MW"):
     return make_cases_project(root, name=name)
 
 
-_WORKER_SNIPPET = """
+_WATCHDOG = """
+import faulthandler, sys
+# hang tripwire: dump ALL thread stacks and die instead of wedging the
+# suite until the communicate() timeout (caught the axon-backend hang below)
+faulthandler.dump_traceback_later(240, exit=True, file=sys.stderr)
+# force the CPU backend the way the root conftest does: the ambient axon
+# sitecustomize re-pins JAX_PLATFORMS to the single tunneled TPU regardless
+# of the env var we pass, and TWO workers sharing that tunnel deadlock in
+# the transfer path (reproduced: both parked in jax.Array._value with the
+# 'Platform axon is experimental' banner in the captured output)
+import jax
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+"""
+
+_WORKER_SNIPPET = _WATCHDOG + """
 import json, sys
 from lbm2d_tpu.pipeline.batch_datagen import run_batched
 stats = run_batched(
@@ -196,7 +211,7 @@ def test_two_workers_split_one_project(tmp_path):
         )
         for wid in ("workerA", "workerB")
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = [p.communicate(timeout=330)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
 
@@ -244,7 +259,7 @@ def test_two_workers_split_one_project(tmp_path):
 
 # ------------------------------------- multi-worker x multi-chip composition
 
-_WORKER_SHARDED_SNIPPET = """
+_WORKER_SHARDED_SNIPPET = _WATCHDOG + """
 import json, sys
 from lbm2d_tpu.pipeline.batch_datagen import run_batched
 stats = run_batched(
@@ -280,7 +295,7 @@ def test_two_workers_with_four_devices_each(tmp_path):
         )
         for wid in ("workerA", "workerB")
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = [p.communicate(timeout=330)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
 
