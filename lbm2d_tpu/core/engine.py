@@ -104,6 +104,7 @@ class LBMEngine:
         self.params: CaseParams = make_params(config, mask_yx, dtype=dtype)
         self.dtype = dtype
         self.mesh = None
+        self._multihost = False
         mesh_shape = parse_spatial_mesh(
             spatial_mesh if spatial_mesh is not None
             else sim.get("spatial_mesh")
@@ -142,6 +143,9 @@ class LBMEngine:
                 f"found {n_dev}"
             )
         self.mesh = make_mesh((ry, rx), devices=jax.devices()[: ry * rx])
+        # multi-controller: the global device list spans processes -- host
+        # IO must gather collectively and artifacts write on process 0
+        self._multihost = jax.process_count() > 1
         if self.ny % ry or self.nx % rx:
             raise ValueError(
                 f"grid {self.ny}x{self.nx} (HxW) not divisible by "
@@ -177,12 +181,34 @@ class LBMEngine:
 
     def _place_on_mesh(self) -> None:
         """Shard state+params onto the spatial mesh (no-op when unsharded)."""
-        if self.mesh is not None:
+        if self.mesh is None:
+            return
+        if self._multihost:
+            # device_put onto a cross-process sharding is not allowed from
+            # one controller; every process materializes its own shards
+            # from the (identical) host data instead
+            from ..parallel.multihost import shard_state_global
+
+            self.state, self.params = shard_state_global(
+                self.state, self.params, self.mesh
+            )
+        else:
             from ..parallel.topology import shard_state
 
             self.state, self.params = shard_state(
                 self.state, self.params, self.mesh
             )
+
+    def _fetch(self, x) -> np.ndarray:
+        """Device array -> numpy for host IO. Single-process: a plain copy.
+        Multi-host: a process_allgather COLLECTIVE -- every process must
+        call it at the same point (the loop is deterministic and monitor
+        values are replicated, so all processes branch identically)."""
+        if self._multihost:
+            from ..parallel.multihost import gather_for_io
+
+            return gather_for_io(x)
+        return np.asarray(x)
 
     def _resolve_runner(self, impl: str):
         """Pick the chunk runner: fused Pallas kernel on TPU, jnp elsewhere.
@@ -253,11 +279,11 @@ class LBMEngine:
 
     def get_physical_fields(self) -> Tuple[np.ndarray, np.ndarray]:
         """(u [2,H,W], mask [H,W]) as numpy."""
-        return np.asarray(self.state.u), np.asarray(self.params.mask)
+        return self._fetch(self.state.u), self._fetch(self.params.mask)
 
     def get_moments(self) -> np.ndarray:
         """[9, H, W] MRT moments of the post-collision field."""
-        return np.asarray(moments_output(self.state))
+        return self._fetch(moments_output(self.state))
 
     def get_moments_device(self) -> jnp.ndarray:
         return moments_output(self.state)
@@ -270,18 +296,25 @@ class LBMEngine:
 
     def save_checkpoint(self, path: str) -> None:
         # Write-temp-then-rename: a crash mid-write must not corrupt the only
-        # checkpoint (that would defeat crash-resume).
+        # checkpoint (that would defeat crash-resume). Multi-host: the
+        # gathers are collectives every process joins; only process 0 writes
+        # (shared-filesystem deployments would tear the file otherwise).
+        data = dict(
+            f=self._fetch(self.state.f),
+            f_post=self._fetch(self.state.f_post),
+            rho=self._fetch(self.state.rho),
+            u=self._fetch(self.state.u),
+            step=np.asarray(self.state.step),
+        )
+        if self._multihost:
+            import jax as _jax
+
+            if _jax.process_index() != 0:
+                return
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
-            np.savez_compressed(
-                fh,
-                f=np.asarray(self.state.f),
-                f_post=np.asarray(self.state.f_post),
-                rho=np.asarray(self.state.rho),
-                u=np.asarray(self.state.u),
-                step=np.asarray(self.state.step),
-            )
+            np.savez_compressed(fh, **data)
         os.replace(tmp, path)
 
     def load_checkpoint(self, path: str) -> None:

@@ -80,16 +80,21 @@ def make_global_mesh(shape: Optional[Tuple[int, int]] = None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(ry, rx), (AXIS_Y, AXIS_X))
 
 
-def _global_from_host(x: np.ndarray, mesh: Mesh, spec: P):
+def _global_from_host(x, mesh: Mesh, spec: P):
     """Build a global jax.Array from identical full-size host data.
 
     Every process holds the SAME full array (states/params are built from
     the config + mask, deterministically identical everywhere); each
-    contributes its addressable shards.
+    contributes its addressable shards. Idempotent: an already-global
+    array (e.g. params on an engine re-init) passes through untouched --
+    its host value cannot be fetched from one process anyway.
     """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return x
+    x = np.asarray(x)
     sharding = NamedSharding(mesh, spec)
     return jax.make_array_from_callback(
-        np.shape(x), sharding, lambda idx: np.asarray(x)[idx]
+        np.shape(x), sharding, lambda idx: x[idx]
     )
 
 
@@ -102,7 +107,7 @@ def shard_state_global(state, p, mesh: Mesh):
     shards instead.
     """
     s_specs, p_specs = state_specs(), params_specs(p)
-    put = lambda x, spec: _global_from_host(np.asarray(x), mesh, spec)
+    put = lambda x, spec: _global_from_host(x, mesh, spec)
     state = jax.tree.map(put, state, s_specs)
     p = jax.tree.map(put, p, p_specs)
     return state, p
@@ -111,13 +116,23 @@ def shard_state_global(state, p, mesh: Mesh):
 def gather_for_io(x) -> np.ndarray:
     """Materialize a (possibly non-addressable) sharded array on every
     process for host-side IO (HDF5 writer, renderer input). Monitors do
-    not need this — global reductions return replicated values."""
+    not need this — global reductions return replicated values.
+
+    A COLLECTIVE when the array spans processes: every process must call it
+    at the same point (the sim loop is deterministic and branches on
+    replicated monitor values, so ranks stay in lockstep). Implemented as a
+    jitted identity resharded to fully-replicated — XLA inserts the
+    all-gather on the device interconnect; the local replica is then free
+    to read."""
     try:
         return np.asarray(x)  # fully-addressable / replicated: free
     except RuntimeError:
-        from jax.experimental import multihost_utils
-
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        sharding = x.sharding
+        rep = jax.jit(
+            lambda a: a,
+            out_shardings=NamedSharding(sharding.mesh, P()),
+        )(x)
+        return np.asarray(rep)
 
 
 def sync() -> None:

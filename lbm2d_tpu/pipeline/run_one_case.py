@@ -48,21 +48,28 @@ def init_simulation_env(
     )
     engine.init()
 
+    # Multi-controller (spatial mesh spanning processes): every process runs
+    # the same loop -- the gathers inside engine._fetch are collectives --
+    # but only process 0 owns artifacts (writer/recorder/gui).
+    import jax
+
+    io_rank = jax.process_count() == 1 or jax.process_index() == 0
+
     gui = None
-    if gui_cfg.get("enable"):
+    if gui_cfg.get("enable") and io_rank:
         from ..viz.gui import GuiWindow
 
         gui = GuiWindow("LBM TPU", res=(gui_w, gui_h))
 
     recorder = None
-    if vid_cfg["enable"] and video_output_path:
+    if vid_cfg["enable"] and video_output_path and io_rank:
         recorder = VideoRecorder(
             video_output_path, width=gui_w, height=gui_h, fps=vid_cfg.get("fps", 30)
         )
         recorder.start()
 
     writer = None
-    if data_cfg["enable"] and h5_output_path:
+    if data_cfg["enable"] and h5_output_path and io_rank:
         writer = AsyncLBMCaseWriter(
             h5_output_path,
             config,

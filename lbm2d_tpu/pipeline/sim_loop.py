@@ -60,6 +60,18 @@ def run_simulation_loop(
     # concurrent compute, so fetching at idle beats deferring the transfer
     # under the next chunk. Host-side HDF5 work is already asynchronous
     # (AsyncLBMCaseWriter's worker thread).
+    # Multi-controller runs (engine spatial mesh spanning processes): every
+    # host fetch below is a process_allgather COLLECTIVE, so all ranks must
+    # reach it -- writer/recorder are None on rank != 0, but the fetch
+    # itself still executes there (see the data-step gate below).
+    multihost = getattr(engine, "_multihost", False)
+    if multihost and device_resize:
+        raise ValueError(
+            "device_resize is not supported on multi-host runs: the resizer "
+            "is built from the rank-0 writer, and mismatched collectives "
+            "across ranks would deadlock -- use the host-side resize path"
+        )
+
     resizer = None
     _crop = None
     if device_resize and writer is not None:
@@ -170,7 +182,7 @@ def run_simulation_loop(
                 and current_steps % data_interval == 0
                 and current_steps >= start_record
             )
-            if is_data_step and writer:
+            if is_data_step and (writer is not None or multihost):
                 if resizer is not None:
                     # device is idle here (monitors synced above): the small
                     # resized frame fetches at the idle-link rate
@@ -182,11 +194,12 @@ def run_simulation_loop(
                     writer.append(moments, pre_resized=True)
                 else:
                     t0 = time.perf_counter()
-                    moments = engine.get_moments()
+                    moments = engine.get_moments()  # collective on multihost
                     timings["moment_fetch"] = (time.perf_counter() - t0) * 1000
-                    t0 = time.perf_counter()
-                    writer.append(moments)
-                    timings["hdf5_io"] = (time.perf_counter() - t0) * 1000
+                    if writer is not None:
+                        t0 = time.perf_counter()
+                        writer.append(moments)
+                        timings["hdf5_io"] = (time.perf_counter() - t0) * 1000
 
             if (
                 checkpoint_path

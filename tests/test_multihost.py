@@ -10,6 +10,7 @@ Skips (with the reason) where this jaxlib lacks cross-process CPU
 collectives -- the TPU runtime always has them.
 """
 
+import json
 import os
 import socket
 import subprocess
@@ -55,3 +56,66 @@ def test_two_process_spatial_decomposition():
 
     for out in outs:
         assert "MH_OK" in out, joined
+
+
+def test_two_process_pipeline_artifact_parity(tmp_path):
+    """The PRODUCTION single-case entry across two processes: rank 0 writes
+    the full artifact set while rank 1 co-runs the sharded step and the
+    collective gathers; the HDF5 matches a single-process serial run
+    dataset-byte exactly (the multi-host twin of
+    test_spatial_pipeline.py's parity criterion)."""
+    import numpy as np
+
+    from lbm2d_tpu.pipeline import run_one_case
+    from tests.test_pipeline_e2e import make_project
+    from tests.test_spatial_pipeline import _h5_tree
+
+    root = str(tmp_path)
+    cfg_name = make_project(root, name="MH")
+
+    # golden: the same case single-process (this pytest interpreter)
+    base = os.path.join(root, "SimCases", "MH")
+    ser = os.path.join(root, "outputs_serial")
+    os.makedirs(ser)
+    md = run_one_case.main(
+        os.path.join(base, "configs", cfg_name),
+        os.path.join(base, "masks", "mask_00.png"),
+        os.path.join(ser, "case_mh.h5"),
+        os.path.join(ser, "case_mh.mp4"),
+        progress=False,
+    )
+    assert md["status"] == "Success", md
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tests._mh_pipeline_worker",
+             f"127.0.0.1:{port}", "2", str(pid), root, cfg_name],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd="/root/repo",
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=330)[0] for p in procs]
+    joined = "\n----\n".join(o[-4000:] for o in outs)
+    for p in procs:
+        assert p.returncode == 0, joined
+    stats = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("MH_PIPE ")]
+        assert line, joined
+        stats.append(json.loads(line[-1][8:]))
+    assert all(s["status"] == "Success" for s in stats), stats
+
+    mh_h5 = os.path.join(root, "outputs", "MH", "raw", "case_mh.h5")
+    a, b = _h5_tree(os.path.join(ser, "case_mh.h5")), _h5_tree(mh_h5)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], f"h5 mismatch at {k}"
+    # rank 0 wrote the video; physics metadata agrees across ranks
+    assert os.path.getsize(
+        os.path.join(root, "outputs", "MH", "vis", "case_mh.mp4")) > 0
+    np.testing.assert_allclose(stats[0]["re"], stats[1]["re"], rtol=1e-6)
