@@ -297,20 +297,35 @@ class LBMEngine:
     def save_checkpoint(self, path: str) -> None:
         # Write-temp-then-rename: a crash mid-write must not corrupt the only
         # checkpoint (that would defeat crash-resume). Multi-host: the
-        # gathers are collectives every process joins; only process 0 writes
-        # (shared-filesystem deployments would tear the file otherwise).
-        data = dict(
-            f=self._fetch(self.state.f),
-            f_post=self._fetch(self.state.f_post),
-            rho=self._fetch(self.state.rho),
-            u=self._fetch(self.state.u),
-            step=np.asarray(self.state.step),
-        )
+        # device-side all-gathers are collectives every process joins, but
+        # the device->host conversion (the expensive part at production
+        # sizes) happens on rank 0 only; other ranks drop their replicated
+        # device copies without fetching. Only rank 0 writes (shared
+        # filesystems would tear the file otherwise).
         if self._multihost:
             import jax as _jax
 
+            from ..parallel.multihost import gather_replicated
+
+            rep = {
+                name: gather_replicated(arr)
+                for name, arr in (
+                    ("f", self.state.f), ("f_post", self.state.f_post),
+                    ("rho", self.state.rho), ("u", self.state.u),
+                )
+            }
             if _jax.process_index() != 0:
                 return
+            data = {name: np.asarray(arr) for name, arr in rep.items()}
+            data["step"] = np.asarray(self.state.step)
+        else:
+            data = dict(
+                f=self._fetch(self.state.f),
+                f_post=self._fetch(self.state.f_post),
+                rho=self._fetch(self.state.rho),
+                u=self._fetch(self.state.u),
+                step=np.asarray(self.state.step),
+            )
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:

@@ -346,33 +346,51 @@ class BatchEngine:
             runner == "auto" and platform in ("tpu", "axon") and pallas_ok
         )
         self.mesh = None
+        self._shard_pad = 0
         if runner == "sharded":
-            # fit the mesh to the batch: the largest device count <= the
-            # request that divides B. Coordinated multi-worker runs routinely
-            # produce odd group sizes (other workers claim members away), and
-            # a crash there would strand the whole worker -- running 3 cases
-            # on 3 of 4 chips beats running none.
+            # Indivisible batches are PADDED to a device multiple with
+            # duplicates of the last case that start dead (alive=False ->
+            # frozen, outputs discarded), so every requested chip stays
+            # busy. Coordinated multi-worker runs routinely produce odd
+            # group sizes (other workers claim members away); the earlier
+            # largest-divisor fit collapsed 5 cases on 4 chips to ONE chip
+            # (divisors of a prime), a silent ~4x wall regression.
             want = n_devices if n_devices is not None else len(jax.devices())
-            want = min(want, len(jax.devices()))
-            n_dev = max(d for d in range(1, want + 1) if self.batch % d == 0)
-            if n_dev < want:
-                print(f"[BatchEngine] batch {self.batch} not divisible by "
-                      f"{want} devices; using {n_dev}")
-            self.mesh = case_mesh(n_dev)
-            self._local_b = self.batch // n_dev
+            want = max(1, min(want, len(jax.devices()), self.batch))
+            self._shard_pad = (-self.batch) % want
+            if self._shard_pad:
+                print(f"[BatchEngine] batch {self.batch} padded with "
+                      f"{self._shard_pad} inert duplicate(s) to fill "
+                      f"{want} devices")
+            self.mesh = case_mesh(want)
+            self._local_b = (self.batch + self._shard_pad) // want
             # per-shard strategy mirrors the auto rule (interpret-mode
             # Pallas inside shard_map works but is slow; CPU tests use vmap)
             self._sequential = platform in ("tpu", "axon") and pallas_ok
             # place the batch axis over the mesh so shard_map consumes the
-            # shards in place (no resharding transfer on entry)
+            # shards in place (no resharding transfer on entry). With a
+            # pad, the padded params are placed once here; the (mutable)
+            # state/alive stay unpadded and are padded+sliced per chunk in
+            # run_step (two HBM copies per chunk, ~ms vs seconds of chunk).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             put = lambda x: jax.device_put(
                 x, NamedSharding(self.mesh, P("cases"))
             )
-            self.state = jax.tree.map(put, self.state)
-            self.params = jax.tree.map(put, self.params)
-            self.alive = put(self.alive)
+            if self._shard_pad:
+                self._params_padded = jax.tree.map(
+                    lambda a: put(self._pad_rows(a)), self.params
+                )
+            else:
+                self.state = jax.tree.map(put, self.state)
+                self.params = jax.tree.map(put, self.params)
+                self.alive = put(self.alive)
+
+    def _pad_rows(self, a):
+        """Append _shard_pad duplicates of the last batch row."""
+        return jnp.concatenate(
+            [a, jnp.repeat(a[-1:], self._shard_pad, axis=0)]
+        )
 
     def run_step(self, n: int = 1, sync: bool = True):
         """Advance n steps. ``sync=True`` returns host-side monitor arrays;
@@ -380,12 +398,30 @@ class BatchEngine:
         caller can overlap other device->host transfers with the chunk's
         compute and call :meth:`sync_monitors` afterwards."""
         if self.mesh is not None:
-            self.state, self.alive, mon = _run_chunk_case_sharded(
-                self.state, self.params, self.alive, n_steps=n,
-                mesh=self.mesh, local_b=self._local_b,
-                interpret=self._interpret, sequential=self._sequential,
-                store_dev=self._store_dev,
-            )
+            if self._shard_pad:
+                # pad rows ride as permanently-dead duplicates: frozen by
+                # their alive flag, outputs sliced away below
+                st = jax.tree.map(self._pad_rows, self.state)
+                al = jnp.concatenate(
+                    [self.alive, jnp.zeros((self._shard_pad,), bool)]
+                )
+                st, al, mon = _run_chunk_case_sharded(
+                    st, self._params_padded, al, n_steps=n,
+                    mesh=self.mesh, local_b=self._local_b,
+                    interpret=self._interpret, sequential=self._sequential,
+                    store_dev=self._store_dev,
+                )
+                b = self.batch
+                self.state = jax.tree.map(lambda a: a[:b], st)
+                self.alive = al[:b]
+                mon = {k: v[:b] for k, v in mon.items()}
+            else:
+                self.state, self.alive, mon = _run_chunk_case_sharded(
+                    self.state, self.params, self.alive, n_steps=n,
+                    mesh=self.mesh, local_b=self._local_b,
+                    interpret=self._interpret, sequential=self._sequential,
+                    store_dev=self._store_dev,
+                )
         elif self._sequential:
             mon = self._run_step_sequential(n)
         else:

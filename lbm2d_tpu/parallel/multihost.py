@@ -66,18 +66,15 @@ def init_multihost(
 def make_global_mesh(shape: Optional[Tuple[int, int]] = None) -> Mesh:
     """2D ('dy','dx') mesh over the GLOBAL device list (all processes).
 
-    Defaults to the most-square factorization. The device order follows
-    jax.devices() (process-major), so a ``(num_processes, chips_per_host)``
-    shape puts each row of shards on one host: y-halos cross DCN once per
+    Same construction as `topology.make_mesh` (delegated -- one place owns
+    mesh/device ordering): jax.devices() is process-major in a
+    multi-controller job, so a ``(num_processes, chips_per_host)`` shape
+    puts each row of shards on one host -- y-halos cross DCN once per
     step, x-halos stay on intra-host ICI.
     """
-    devices = jax.devices()
-    if shape is None:
-        shape = best_grid(len(devices))
-    ry, rx = shape
-    if ry * rx != len(devices):
-        raise ValueError(f"mesh shape {shape} != {len(devices)} global devices")
-    return Mesh(np.asarray(devices).reshape(ry, rx), (AXIS_Y, AXIS_X))
+    from .topology import make_mesh
+
+    return make_mesh(shape)
 
 
 def _global_from_host(x, mesh: Mesh, spec: P):
@@ -127,12 +124,22 @@ def gather_for_io(x) -> np.ndarray:
     try:
         return np.asarray(x)  # fully-addressable / replicated: free
     except RuntimeError:
-        sharding = x.sharding
-        rep = jax.jit(
-            lambda a: a,
-            out_shardings=NamedSharding(sharding.mesh, P()),
-        )(x)
-        return np.asarray(rep)
+        return np.asarray(gather_replicated(x))
+
+
+def gather_replicated(x):
+    """All-gather a sharded global array to fully-replicated ON DEVICE.
+
+    A collective every process must join; no host transfer happens here --
+    callers that only need the value on one rank (checkpoint writes) can
+    np.asarray the result on that rank alone and let the others drop it.
+    """
+    if isinstance(x, jax.Array) and x.is_fully_addressable:
+        return x
+    sharding = x.sharding
+    return jax.jit(
+        lambda a: a, out_shardings=NamedSharding(sharding.mesh, P())
+    )(x)
 
 
 def sync() -> None:

@@ -425,6 +425,20 @@ def run_lockstep_group(
     fetched = {}
 
     t0 = time.perf_counter()
+    # Device-bound chunk-wall estimate for the pacer's TRUE-stall signal.
+    # The join wait below is the FULL transfer duration (the fetch thread
+    # starts right before the chunk dispatch), NOT the un-hidden residual:
+    # while the host waits in join, the device computes concurrently, and
+    # the monitor sync then absorbs whatever compute remains. So a chunk
+    # only truly lost wall time when its total wall exceeds the
+    # device-bound wall: chunks whose monitor wait is non-trivial ARE
+    # device-bound (transfers fully hidden -> stall 0) and calibrate the
+    # EMA; host-bound chunks charge the excess over that estimate.
+    # Feeding the raw join wait instead over-reports stall ~T/C on links
+    # where transfers hide completely and ratchets the group size for
+    # nothing (review finding, round 5).
+    c_est = None
+    _M_EPS = 0.05  # monitor waits below this are the bare sync RTT floor
     while steps < max_steps:
         tp0 = time.perf_counter()
         mon_dev = engine.run_step(chunk, sync=False)
@@ -432,9 +446,6 @@ def run_lockstep_group(
         steps += chunk
         stall_s = 0.0
         if fetch_thread is not None:
-            # the worker transferred while this chunk computes; the join
-            # wait is the residual transfer time the compute couldn't hide
-            # -- the "stall" signal the FetchPacer adapts on
             tj = time.perf_counter()
             fetched = join_fetch()
             stall_s = time.perf_counter() - tj
@@ -447,7 +458,18 @@ def run_lockstep_group(
         prof["write"] += tp2 - tp1
         prof["monitor"] += tp3 - tp2
         if pacer is not None:
-            pacer.record_chunk((tp1 - tp0) + (tp3 - tp2), stall_s)
+            chunk_wall = tp3 - tp0
+            if (tp3 - tp2) > _M_EPS:
+                true_stall = 0.0  # device-bound: transfer fully hidden
+                c_est = (
+                    chunk_wall if c_est is None
+                    else 0.7 * c_est + 0.3 * chunk_wall
+                )
+            elif c_est is not None:
+                true_stall = max(0.0, chunk_wall - c_est)
+            else:
+                true_stall = stall_s  # no estimate yet: conservative
+            pacer.record_chunk(chunk_wall - true_stall, true_stall)
         alive = engine.alive_mask
         for b in range(n_cases):
             if fail_reason[b] is None and not alive[b]:

@@ -166,7 +166,12 @@ def run_batch(
         threading.Thread(target=_hb_loop, daemon=True).start()
 
     new_success = new_failed = new_skip = 0
-    for i, cfg_file in enumerate(config_files):
+    # try/finally around the whole loop: an escaping exception must still
+    # stop the heartbeat thread -- a leaked daemon would keep refreshing
+    # this worker's claim mtimes forever, making the abandoned case
+    # permanently un-stealable under --reclaim_stale
+    try:
+      for i, cfg_file in enumerate(config_files):
         full_config_path = os.path.join(project_paths["configs"], cfg_file)
         job_id = i + 1
 
@@ -261,8 +266,9 @@ def run_batch(
         tag = "OK" if entry.get("status") == "Success" else "FAIL"
         print(f"  [{tag}] {cfg_file}  wall_time={wall_time_s:.1f}s")
 
-    if hb_stop is not None:
-        hb_stop.set()
+    finally:
+        if hb_stop is not None:
+            hb_stop.set()
     print(
         f"\n[Batch] done: prev_success={already_success} new_success={new_success} "
         f"failed={new_failed} skipped={new_skip}"

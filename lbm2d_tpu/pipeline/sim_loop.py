@@ -71,6 +71,14 @@ def run_simulation_loop(
             "is built from the rank-0 writer, and mismatched collectives "
             "across ranks would deadlock -- use the host-side resize path"
         )
+    # config-gated (NOT on the gui object, which only rank 0 holds) so every
+    # rank raises identically before the first collective
+    if multihost and out_cfg["gui"].get("enable"):
+        raise ValueError(
+            "an interactive GUI is not supported on multi-host runs: only "
+            "rank 0 has a window, so a user-close would break rank 0 out of "
+            "the loop while other ranks still wait in collectives (deadlock)"
+        )
 
     resizer = None
     _crop = None

@@ -389,19 +389,37 @@ def test_batch_case_sharded_matches_serial():
         )
 
 
-def test_batch_case_sharded_fits_mesh_to_indivisible_batch():
-    """3 cases on an 8-device host: the mesh auto-fits to the largest
-    dividing device count (3) instead of crashing -- coordinated
-    multi-worker runs routinely produce odd group sizes (VERDICT r4
-    item 8 composition robustness)."""
+def test_batch_case_sharded_pads_indivisible_batch():
+    """Indivisible batches pad with inert duplicates so every requested
+    chip stays busy (coordinated multi-worker claim races routinely
+    produce odd group sizes): 5 cases on a 4-device mesh run as 4x2 rows
+    with 3 dead pads, bit-identical to the serial engine per case."""
     nx, ny = 48, 24
-    cfgs = [grid_config(nx, ny) for _ in range(3)]
-    masks = [np.zeros((ny, nx), np.float32)] * 3
+    cfgs = [grid_config(nx, ny, rho_in=1.01 + 0.002 * i) for i in range(5)]
+    masks = [np.zeros((ny, nx), np.float32)] * 5
 
-    be = BatchEngine(cfgs, masks, runner="sharded")
-    assert be.mesh is not None and be.mesh.devices.size == 3
-    be.run_step(2)
+    be = BatchEngine(cfgs, masks, runner="sharded", n_devices=4)
+    assert be.mesh is not None and be.mesh.devices.size == 4
+    assert be._shard_pad == 3
+    be.run_step(6)
     assert be.alive_mask.all()
+    assert be.state.f.shape[0] == 5  # pads sliced away from every output
+
+    from lbm2d_tpu.core.solver import init_state, make_params, run_chunk
+
+    for i in (0, 4):  # first case and the duplicated-source last case
+        ref, _ = run_chunk(
+            init_state(ny, nx), make_params(cfgs[i], masks[i]), 6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(be.state.f[i]), np.asarray(ref.f)
+        )
+
+    # batch <= devices: mesh shrinks to the batch, no padding
+    be3 = BatchEngine(cfgs[:3], masks[:3], runner="sharded")
+    assert be3.mesh.devices.size == 3 and be3._shard_pad == 0
+    be3.run_step(2)
+    assert be3.alive_mask.all()
 
 
 def _run_split_bc_mesh_case(nx, ny, mesh_shape, n_steps, vmem_mb=None):
